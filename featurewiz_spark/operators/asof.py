@@ -1,0 +1,171 @@
+"""Point-in-time / as-of join operators — the engine's core custom ops.
+
+Spark SQL has no native as-of join; the reference implements only an
+exact-key shifted-lag lookup (TS_Lagging_Transformer,
+reference featurewiz/my_encoders.py:1280-1490) and a latest-row-per-entity
+snapshot (FE_get_latest_values_based_on_date_column,
+reference featurewiz/featurewiz.py:1876-1908). The north rule generalizes
+both to a tolerance-bounded backward/forward as-of join with zero temporal
+leakage.
+
+Physical strategy (SURVEY.md §4): union-tag trick — tag left/right rows,
+union them, and run ONE window pass per entity ordered by
+(ts, side-tag): ``last(right_value, ignorenulls=True) over
+rowsBetween(unboundedPreceding, -1 or 0)``. This is a single shuffle on
+the entity key (range partition + in-partition sort, exactly the
+sort-merge machinery Spark already has) — no join node at all, so there is
+no skew-join blowup for hot urls; a hot entity is still a single
+partition-local sorted scan. Strictness (< vs <=) is encoded in the
+union sort order, tolerance by a final ``when`` filter.
+
+Scale note: for a 10^12-row left side the only shuffle is
+repartition-by-entity; AQE handles partition sizing. If the right side is
+tiny (dimension snapshots), prefer ``lag_join`` (broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row at-or-before
+    (backward) / earliest at-or-after (forward) its timestamp, per key.
+
+    tolerance: SQL interval string, e.g. ``'7 days'`` — matches farther
+    than this become NULL. strict=True excludes equal timestamps
+    (leakage-free "only strictly earlier snapshots visible").
+
+    Implemented as union + one window — single shuffle on `on`.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys + [right_ts]]
+
+    # tag: right rows must sort BEFORE left rows at equal ts for
+    # non-strict backward (so last() sees them), AFTER for strict.
+    l_tag, r_tag = (1, 0) if not strict else (0, 1)
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(l_tag))
+    rt = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias("__ts"),
+            F.lit(r_tag).alias("__side"),
+            *[F.col(c) for c in value_cols],
+        )
+    )
+    # align schemas for unionByName
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    lt = lt.withColumn("__rts", F.lit(None).cast(right.schema[right_ts].dataType))
+    rt = rt.withColumn("__rts", F.col("__ts"))
+
+    u = lt.unionByName(rt.select(*lt.columns))
+
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__rts").asc()]
+        frame = (Window.unboundedPreceding, -1)
+    elif direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__rts").desc()]
+        frame = (Window.unboundedPreceding, -1)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
+    matched = u
+    out_cols = {}
+    for c in value_cols:
+        out_cols[c] = F.last(F.col(c), ignorenulls=True).over(w)
+    matched_ts = F.last(F.col("__rts"), ignorenulls=True).over(w)
+
+    matched = matched.withColumn("__mts", matched_ts)
+    for c, e in out_cols.items():
+        matched = matched.withColumn(f"{c}{suffix}", e)
+
+    res = matched.filter(F.col("__side") == l_tag)
+
+    if tolerance is not None:
+        if direction == "backward":
+            within = F.col("__mts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            within = F.col("__mts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+        for c in value_cols:
+            res = res.withColumn(
+                f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}"))
+            )
+        res = res.withColumn("__mts", F.when(within, F.col("__mts")))
+
+    res = res.withColumn(f"{right_ts}{suffix}", F.col("__mts"))
+    return res.drop("__ts", "__side", "__rts", "__mts", *value_cols)
+
+
+def lag_join(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    lag_interval: str,
+    agg: str = "sum",
+    fill: float = 0.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact-key calendar-lag join (reference J2, TS_Lagging_Transformer:
+    key shift my_encoders.py:1459-1464, dict lookup :1466-1472, aggregate
+    table :1399-1402). Computes ``agg(value) by (keys, ts)``, then left
+    equi-joins it back at the key shifted by ``lag_interval``; misses → fill.
+
+    The aggregate table is one groupBy (map-side partial agg); the join is
+    an equi-join Spark can broadcast when the key space is small, or
+    sort-merge co-partitioned with the main table otherwise.
+    """
+    out_col = out_col or f"{value}_lag_{lag_interval.replace(' ', '_')}"
+    agg_tbl = (
+        df.groupBy(*keys, F.col(ts).alias("__k_ts"))
+        .agg(getattr(F, agg)(value).alias(out_col))
+    )
+    shifted = df.withColumn("__k_ts", F.col(ts) - F.expr(f"INTERVAL {lag_interval}"))
+    joined = shifted.join(agg_tbl, on=keys + ["__k_ts"], how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(fill))).drop(
+        "__k_ts"
+    )
+
+
+def latest_per_entity(
+    df: DataFrame, keys: str | list[str], ts: str, value_cols: list[str] | None = None
+) -> DataFrame:
+    """J3: latest-value-per-entity point-in-time snapshot
+    (reference FE_get_latest_values_based_on_date_column,
+    featurewiz/featurewiz.py:1876-1908 — per-group sort desc + head(1)).
+
+    Spark-first: ONE hash aggregate ``max(struct(ts, *values))`` with
+    map-side partials — no window, no per-group sort, no shuffle beyond
+    the aggregate's own. Struct comparison is lexicographic, so the
+    result is a consistent row with deterministic value tie-breaks at
+    equal ts (equivalent to row_number()=1 over orderBy(ts desc,
+    values desc)).
+    """
+    keyl = [keys] if isinstance(keys, str) else list(keys)
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in keyl + [ts]]
+    s = F.max(F.struct(F.col(ts), *[F.col(c) for c in value_cols])).alias("__s")
+    out = df.groupBy(*keyl).agg(s)
+    return out.select(
+        *keyl,
+        F.col("__s").getField(ts).alias(ts),
+        *[F.col("__s").getField(c).alias(c) for c in value_cols],
+    )

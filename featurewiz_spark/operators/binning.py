@@ -1,0 +1,137 @@
+"""Binning / discretization / outlier capping (SURVEY.md §2.9).
+
+Fit = one quantile/aggregate pass (exact `percentile` at test scale,
+`percentile_approx` at 100TB); apply = pure `when`/`Bucketizer`
+expressions replayable on test with train-fitted edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_bin(
+    df: DataFrame, col: str, bins: int = 4, exact: bool = True,
+    out_col: str | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """B2 quantile binning (EDA_binning_numeric_column_displaying_bins,
+    reference featurewiz/featurewiz.py:2659-2693: qcut edges on train,
+    cut on test). Returns (df, edges) — edges are the fitted state."""
+    out_col = out_col or f"{col}_bin"
+    qs = [i / bins for i in range(1, bins)]
+    if exact:
+        edges = df.agg(
+            F.expr(f"percentile({col}, array({','.join(map(str, qs))}))")
+        ).first()[0]
+    else:
+        edges = df.approxQuantile(col, qs, 0.001)
+    return apply_bin_edges(df, col, list(edges), out_col), list(edges)
+
+
+def apply_bin_edges(
+    df: DataFrame, col: str, edges: list[float], out_col: str | None = None
+) -> DataFrame:
+    """Replay fitted edges (train→test contract): bin i ⇔
+    value ≤ edges[i], last bin open-ended — matches pd.cut with
+    right-closed intervals."""
+    out_col = out_col or f"{col}_bin"
+    e = F.lit(len(edges))
+    for i in reversed(range(len(edges))):
+        e = F.when(F.col(col) <= F.lit(edges[i]), F.lit(i)).otherwise(e)
+    return df.withColumn(out_col, F.when(F.col(col).isNull(), None).otherwise(e))
+
+
+def iqr_cap(
+    df: DataFrame, col: str, k: float = 1.5, cap_low: bool = True
+) -> tuple[DataFrame, dict]:
+    """B4 IQR outlier capping (FE_capping_outliers_beyond_IQR_Range,
+    reference featurewiz/featurewiz.py:2023-2102): values beyond
+    Q3 + k·IQR (and below Q1 − k·IQR) are clamped to the fence."""
+    q1, q3 = df.agg(
+        F.expr(f"percentile({col}, 0.25)"), F.expr(f"percentile({col}, 0.75)")
+    ).first()
+    iqr = q3 - q1
+    hi, lo = q3 + k * iqr, q1 - k * iqr
+    e = F.when(F.col(col) > hi, F.lit(hi))
+    if cap_low:
+        e = e.when(F.col(col) < lo, F.lit(lo))
+    out = df.withColumn(col, e.otherwise(F.col(col)))
+    return out, {"low": lo, "high": hi}
+
+
+def mad_outlier_cap(
+    df: DataFrame, col: str, thresh: float = 3.5
+) -> tuple[DataFrame, dict]:
+    """B5 MADD outlier cap (is_outlier / FE_find_and_cap_outliers,
+    reference featurewiz/featurewiz.py:2211-2340): modified z-score
+    0.6745·|x−med|/MAD > thresh → clamp to the threshold boundary."""
+    med = df.agg(F.expr(f"percentile({col}, 0.5)")).first()[0]
+    mad = df.agg(
+        F.expr(f"percentile(abs({col} - {med}), 0.5)")
+    ).first()[0]
+    if not mad:
+        return df, {"median": med, "mad": 0.0}
+    hi = med + thresh * mad / 0.6745
+    lo = med - thresh * mad / 0.6745
+    out = df.withColumn(
+        col,
+        F.when(F.col(col) > hi, F.lit(hi))
+        .when(F.col(col) < lo, F.lit(lo))
+        .otherwise(F.col(col)),
+    )
+    return out, {"median": med, "mad": mad, "low": lo, "high": hi}
+
+
+def tree_bin_edges(
+    df: DataFrame, col: str, target: str, max_depth: int = 2, sample_rows: int = 10000,
+) -> list[float]:
+    """B3 entropy/tree binning (Binning_Transformer, reference
+    my_encoders.py:1136-1267, thresholds :1228-1232): fit a shallow
+    decision tree on (x, y), use its split thresholds as edges.
+
+    Pure-numpy exact greedy variance-reduction splits on a deterministic
+    capped sample (the reference also fits sklearn on in-memory data).
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(col, target)
+        .dropna()
+        .orderBy(col, target)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    x = pdf[col].to_numpy(dtype=float)
+    y = pdf[target].to_numpy(dtype=float)
+
+    edges: list[float] = []
+
+    def split(xs, ys, depth):
+        if depth >= max_depth or len(xs) < 8:
+            return
+        order = np.argsort(xs, kind="stable")
+        xs, ys = xs[order], ys[order]
+        csum = np.cumsum(ys)
+        csq = np.cumsum(ys**2)
+        n = len(ys)
+        tot_sum, tot_sq = csum[-1], csq[-1]
+        best, best_i = -1.0, -1
+        for i in range(4, n - 4):
+            if xs[i] == xs[i - 1]:
+                continue
+            ls, lq, ln = csum[i - 1], csq[i - 1], i
+            rs, rq, rn = tot_sum - ls, tot_sq - lq, n - i
+            sse = (lq - ls**2 / ln) + (rq - rs**2 / rn)
+            gain = (tot_sq - tot_sum**2 / n) - sse
+            if gain > best:
+                best, best_i = gain, i
+        if best_i < 0 or best <= 1e-12:
+            return
+        thr = (xs[best_i - 1] + xs[best_i]) / 2.0
+        edges.append(float(thr))
+        split(xs[:best_i], ys[:best_i], depth + 1)
+        split(xs[best_i:], ys[best_i:], depth + 1)
+
+    split(x, y, 0)
+    return sorted(edges)

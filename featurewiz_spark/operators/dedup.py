@@ -1,0 +1,226 @@
+"""Deduplication for web-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, and n-gram Jaccard. All built from JVM hash functions
+(xxhash64 / crc32 / md5) and array higher-order functions — no Python in
+the hot path, so a 10^12-doc dedup is a scan + one shuffle per stage.
+
+At scale: MinHash-LSH candidate generation shuffles on (band_id,
+band_hash) buckets — bucket sizes are bounded by near-dup cluster size,
+and AQE skew-join splitting handles pathological clusters (boilerplate
+pages). The pairwise verify join is restricted to within-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _spread(df: DataFrame, partitions: int | None) -> DataFrame:
+    """Round-robin repartition for compute-bound text ops. Local parquet
+    test files are single-row-group (1 scan task); the hash/regex work
+    would run serially without this. On a cluster with properly-sized
+    input splits pass partitions=0 to skip the extra shuffle."""
+    if partitions == 0:
+        return df
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True, partitions: int | None = None,
+) -> DataFrame:
+    """Exact dedup: group by (normalized) content hash, keep min-id doc.
+    Returns (keeper_id, n_dups, content_hash) per distinct content."""
+    df = _spread(df, partitions)
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+    return (
+        df.withColumn("__h", F.md5(t))
+        .groupBy(F.col("__h").alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _shingles(text_col: str, k: int = 3):
+    """Word k-shingles as an array column (distinct)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, shingle_k: int = 3, seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """MinHash signature per doc: for hash i, min over shingles of
+    xxhash64(shingle, seed+i). Declarative: transform + array_min per
+    hash function — stays in codegen, one pass over the text."""
+    df = _spread(df, partitions)
+    # hash each shingle STRING once; derive the k minhash functions by
+    # re-hashing the 8-byte base hash with per-function seeds (cheap) —
+    # avoids k full string-hash passes over the text.
+    base = df.select(
+        F.col(id_col),
+        F.transform(_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
+            "__bh"
+        ),
+    )
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__bh"), lambda h: F.xxhash64(h, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return base.select(F.col(id_col), sigs.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5, max_bucket_size: int = 500,
+) -> DataFrame:
+    """LSH banding: split each signature into `bands` bands of
+    `rows_per_band` hashes; docs sharing any band bucket are candidates;
+    candidates verified by estimated Jaccard = fraction of equal minhash
+    components. Returns (a, b, jaccard_est) with a < b.
+
+    Plan: explode bands (narrow) → shuffle on (band, band_hash) →
+    within-bucket self-join → dedup pairs → verify (no second scan of
+    the text; signatures carry everything).
+
+    max_bucket_size guards the self-join against degenerate buckets
+    (boilerplate corpora make band hashes collide for huge doc sets →
+    O(bucket²) pair blowup). Buckets above the cap are DROPPED — at web
+    scale such buckets are boilerplate clusters that exact-dedup or a
+    dedicated pass should handle; this is an explicit coverage cap, not
+    silent truncation."""
+    n = bands * rows_per_band
+    # persist: the self-join consumes the signatures twice; recomputing
+    # the text → shingle → hash pipeline on both sides doubles the most
+    # expensive stage. Signatures are small (id + k longs).
+    sigs = sigs.persist()
+    banded = sigs.select(
+        id_col,
+        "minhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    del n
+    bucket_w = Window.partitionBy("band", "band_hash")
+    banded = (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("minhash").alias("mh_b"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "mh_a", "mh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.size(F.col("mh_a"))
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("a", "b", "jaccard_est")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    partitions: int | None = None,
+) -> DataFrame:
+    """SimHash fingerprint: per token, xxhash64 → for each bit position
+    sum ±1; sign vector → fingerprint. Near-dups differ in few bits
+    (hamming distance). Declarative aggregate over exploded tokens.
+
+    Plan: explode tokens → per-(doc, bit) contributions are computed as
+    one aggregate of 64 sum expressions — single shuffle on doc id.
+    """
+    df = _spread(df, partitions)
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    tok = df.select(id_col, F.explode(toks).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Popcount of XOR via bit_count (Spark 3.3+)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "jaccard",
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard for given candidate pairs (a, b):
+    |tokens_a ∩ tokens_b| / |tokens_a ∪ tokens_b| with distinct tokens.
+    Two broadcast-able joins pull token arrays onto the pair rows."""
+    toks = df.select(
+        F.col(id_col), F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t")
+    )
+    j = (
+        pairs.join(toks.withColumnRenamed("__t", "__ta"), pairs["a"] == toks[id_col])
+        .drop(id_col)
+        .join(
+            toks.withColumnRenamed("__t", "__tb"), pairs["b"] == toks[id_col]
+        )
+        .drop(id_col)
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    return j.withColumn(out_col, inter / union).drop("__ta", "__tb")

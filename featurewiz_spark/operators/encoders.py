@@ -1,0 +1,279 @@
+"""Categorical encoders + cleaning (SURVEY.md §2.10, §2.4 A5–A8).
+
+Every encoder fits a SMALL per-category table (≤ cat_limit rows) on the
+train DataFrame and applies it with a broadcast left join — the fitted
+state is a DataFrame, never a driver-side Python dict, so fit scales with
+category count, not row count. Unseen-category policies are explicit and
+mirror the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def label_encode(
+    df: DataFrame, col: str, order_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """E1 My_LabelEncoder (reference my_encoders.py:34-136): codes by
+    FIRST-APPEARANCE order (pandas factorize), NaN → its own code.
+
+    Distributed first-appearance: min(order_col) per value → codes by
+    that order. order_col defaults to a monotonically-increasing id —
+    callers that need cross-run determinism should pass an explicit
+    stable column (e.g. an event_id). Returns (encoded_df, mapping_df
+    ['value', 'code']); nulls get the code after all seen values
+    (reference maps NaN explicitly, :92-96).
+    """
+    if order_col is None:
+        df = df.withColumn("__ord", F.monotonically_increasing_id())
+        order_col = "__ord"
+    first_seen = df.groupBy(F.col(col).alias("value")).agg(
+        F.min(order_col).alias("__first")
+    )
+    w = Window.orderBy(F.col("__first").asc())
+    mapping = first_seen.select(
+        "value", (F.row_number().over(w) - 1).alias("code")
+    )
+    out = (
+        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
+        .drop("value")
+        .withColumn(f"{col}_code", F.col("code"))
+        .drop("code")
+    )
+    if "__ord" in out.columns:
+        out = out.drop("__ord")
+    return out, mapping
+
+
+def apply_label_encoding(
+    df: DataFrame, col: str, mapping: DataFrame
+) -> DataFrame:
+    """E1 unseen-test policy: unseen values get max_code + dense_rank of
+    the unseen value (reference my_encoders.py:103-111 assigns max+1
+    incrementally in encounter order; we use deterministic value order)."""
+    max_code = mapping.agg(F.max("code")).first()[0]
+    unseen = (
+        df.select(F.col(col).alias("value"))
+        .distinct()
+        .join(mapping.select("value"), on="value", how="left_anti")
+    )
+    w = Window.orderBy(F.col("value").asc_nulls_last())
+    unseen_map = unseen.select(
+        "value", (F.lit(max_code) + F.row_number().over(w)).alias("code")
+    )
+    full = mapping.unionByName(unseen_map)
+    return (
+        df.join(broadcast(full), on=df[col].eqNullSafe(full["value"]), how="left")
+        .drop("value")
+        .withColumn(f"{col}_code", F.col("code"))
+        .drop("code")
+    )
+
+
+def rare_class_combine(
+    df: DataFrame, col: str, threshold: float = 0.01, rare_label: str = "RARE",
+    missing_label: str = "missing",
+) -> tuple[DataFrame, DataFrame]:
+    """A5/E2 Rare_Class_Combiner (reference my_encoders.py:225-331;
+    FE_combine_rare_categories featurewiz/featurewiz.py:1858-1873):
+    values with relative frequency ≤ threshold → rare_label; nulls →
+    missing_label. Returns (df, fitted mapping)."""
+    total = df.count()
+    freq = df.groupBy(F.col(col).alias("value")).agg(
+        (F.count(F.lit(1)) / F.lit(total)).alias("freq")
+    )
+    mapping = freq.select(
+        "value",
+        F.when(F.col("value").isNull(), F.lit(missing_label))
+        .when(F.col("freq") <= threshold, F.lit(rare_label))
+        .otherwise(F.col("value").cast("string"))
+        .alias(f"{col}_combined"),
+    )
+    out = (
+        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
+        .drop("value")
+    )
+    return out, mapping
+
+
+def frequency_encode(
+    df: DataFrame, col: str, normalize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """A6/E3 FrequencyEncoder (reference encoders.py:35-125): category →
+    train relative frequency. Unseen test values keep their TEST-side
+    frequency (reference :103-118) — see apply_frequency_encoding."""
+    total = df.count()
+    enc = df.groupBy(F.col(col).alias("value")).agg(
+        (
+            (F.count(F.lit(1)) / F.lit(total)) if normalize else F.count(F.lit(1))
+        ).cast("double").alias(f"{col}_freq")
+    )
+    out = (
+        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
+        .drop("value")
+    )
+    return out, enc
+
+
+def apply_frequency_encoding(df: DataFrame, col: str, enc: DataFrame) -> DataFrame:
+    """Unseen values → their own frequency within the new data."""
+    total = df.count()
+    test_enc = df.groupBy(F.col(col).alias("value")).agg(
+        (F.count(F.lit(1)) / F.lit(total)).cast("double").alias("__tf")
+    )
+    out = (
+        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
+        .drop("value")
+        .join(broadcast(test_enc), on=df[col].eqNullSafe(test_enc["value"]), how="left")
+        .drop("value")
+    )
+    fcol = [c for c in enc.columns if c != "value"][0]
+    return out.withColumn(fcol, F.coalesce(F.col(fcol), F.col("__tf"))).drop("__tf")
+
+
+def target_encode(
+    df: DataFrame, col: str, target: str, smoothing: float = 20.0
+) -> tuple[DataFrame, DataFrame]:
+    """A7/E5 smoothed mean target encoding (reference registry
+    settings.py:24-31, applied databunch.py:287-327). Encoding =
+    (n·mean_cat + k·mean_global) / (n + k), the James-Stein/TargetEncoder
+    shrinkage form (also used for A8 GroupEncoded features,
+    databunch.py:363-391)."""
+    gmean = df.agg(F.avg(target)).first()[0]
+    enc = df.groupBy(F.col(col).alias("value")).agg(
+        (
+            (F.count(target) * F.avg(target) + F.lit(smoothing) * F.lit(gmean))
+            / (F.count(target) + F.lit(smoothing))
+        ).alias(f"{col}_target_enc")
+    )
+    out = (
+        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
+        .drop("value")
+        .withColumn(
+            f"{col}_target_enc", F.coalesce(F.col(f"{col}_target_enc"), F.lit(gmean))
+        )
+    )
+    return out, enc
+
+
+def ordered_target_encode(
+    df: DataFrame, col: str, target: str, ts: str, prior: float | None = None,
+    prior_weight: float = 1.0,
+) -> DataFrame:
+    """A7 CatBoost-style ORDERED target encoding — leakage-free by
+    construction: each row sees only strictly-earlier rows of its
+    category: (sum(y) over past + w·prior) / (count over past + w).
+    Reference CatBoostEncoder semantics (settings.py:26) re-derived as a
+    running window (SURVEY.md §2.4 A7)."""
+    if prior is None:
+        prior = df.agg(F.avg(target)).first()[0]
+    w = (
+        Window.partitionBy(col)
+        .orderBy(F.col(ts))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_sum = F.coalesce(F.sum(target).over(w), F.lit(0.0))
+    run_cnt = F.coalesce(F.count(target).over(w), F.lit(0))
+    return df.withColumn(
+        f"{col}_ordered_te",
+        (run_sum + F.lit(prior_weight) * F.lit(prior))
+        / (run_cnt + F.lit(prior_weight)),
+    )
+
+
+def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
+                   ) -> tuple[DataFrame, list]:
+    """E4 OneHot: one indicator column per category. Category list is the
+    fitted state (train-side); test replays the same list."""
+    if categories is None:
+        categories = sorted(
+            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+    out = df.withColumns(
+        {
+            f"{col}_is_{str(c).replace(' ', '_')}": (F.col(col) == F.lit(c)).cast("int")
+            for c in categories
+        }
+    )
+    return out, categories
+
+
+def hashing_encode(df: DataFrame, col: str, n_components: int = 8) -> DataFrame:
+    """E4 HashingEncoder (reference databunch.py:269-270): stable hash
+    bucket — xxhash64 mod k, JVM-side, no fitted state."""
+    return df.withColumn(
+        f"{col}_hash", F.pmod(F.xxhash64(F.col(col)), F.lit(n_components)).cast("int")
+    )
+
+
+def add_missing_flags(df: DataFrame, cols: list[str]) -> DataFrame:
+    """add_missing (reference featurewiz/featurewiz.py:3687-3708):
+    per-column 0/1 missing indicator."""
+    return df.withColumns(
+        {f"{c}_missing": F.isnull(c).cast("int") for c in cols}
+    )
+
+
+def clean_nans(
+    df: DataFrame, num_cols: list[str], stat: str = "median", flags: bool = True
+) -> tuple[DataFrame, dict[str, float]]:
+    """E9 DataBunch.clean_nans (reference databunch.py:212-229): numeric
+    nulls → median (exact percentile; switch to percentile_approx at
+    100TB scale via stat='approx_median'), plus _isNAN flags.
+    Returns (df, fitted fill values) for test replay."""
+    exprs = []
+    for c in num_cols:
+        if stat == "median":
+            exprs.append(F.expr(f"percentile({c}, 0.5)").alias(c))
+        elif stat == "approx_median":
+            exprs.append(F.percentile_approx(c, 0.5).alias(c))
+        elif stat == "mean":
+            exprs.append(F.avg(c).alias(c))
+        else:
+            raise ValueError(stat)
+    fills = df.agg(*exprs).first().asDict()
+    out = df
+    if flags:
+        out = out.withColumns({f"{c}_isNAN": F.isnull(c).cast("int") for c in num_cols})
+    out = out.withColumns(
+        {c: F.coalesce(F.col(c), F.lit(fills[c])) for c in num_cols}
+    )
+    return out, fills
+
+
+def standard_scale(
+    df: DataFrame, cols: list[str], method: str = "std"
+) -> tuple[DataFrame, dict]:
+    """E10 scalers ∈ {std, minmax, robust, maxabs} (reference
+    databunch.py:629-638; featurewiz/featurewiz.py:2947-3005). One agg
+    pass fits; scaled column = pure expression."""
+    aggs = []
+    for c in cols:
+        if method == "std":
+            aggs += [F.avg(c).alias(f"{c}__a"), F.stddev(c).alias(f"{c}__b")]
+        elif method == "minmax":
+            aggs += [F.min(c).alias(f"{c}__a"), F.max(c).alias(f"{c}__b")]
+        elif method == "robust":
+            aggs += [
+                F.expr(f"percentile({c}, 0.5)").alias(f"{c}__a"),
+                (F.expr(f"percentile({c}, 0.75)") - F.expr(f"percentile({c}, 0.25)")).alias(f"{c}__b"),
+            ]
+        elif method == "maxabs":
+            aggs += [F.lit(0.0).alias(f"{c}__a"), F.max(F.abs(F.col(c))).alias(f"{c}__b")]
+        else:
+            raise ValueError(method)
+    stats = df.agg(*aggs).first().asDict()
+    out = df
+    upd = {}
+    for c in cols:
+        a, b = stats[f"{c}__a"], stats[f"{c}__b"]
+        if method == "minmax":
+            denom = (b - a) or 1.0
+            upd[f"{c}_scaled"] = (F.col(c) - F.lit(a)) / F.lit(denom)
+        else:
+            denom = b or 1.0
+            upd[f"{c}_scaled"] = (F.col(c) - F.lit(a)) / F.lit(denom)
+    return out.withColumns(upd), {"method": method, "stats": stats}

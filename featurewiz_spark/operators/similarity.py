@@ -1,0 +1,192 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k via a numpy-backed mapInPandas —
+the query matrix is broadcast, each partition does one BLAS matmul over
+its Arrow batch (vectorized; no per-row Python). Scale path: LSH
+bucketing (random hyperplane signatures, JVM-side) restricts candidate
+pairs to same-bucket docs, turning O(N²) into O(N·bucket).
+
+For 100TB: the broadcast query side must be ≤ executor memory; for
+corpus×corpus joins use `lsh_bucket` + within-bucket brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    queries: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Cosine top-k neighbors for every query vector against the corpus.
+
+    queries=None → self-similarity (each corpus vector vs all others).
+    Implementation: collect the corpus matrix to the driver, broadcast,
+    then one numpy matmul per Arrow batch of queries. Deterministic
+    tie-break: higher similarity first, then smaller neighbor id.
+    Returns (id, nn_id, rank, cos_sim).
+    """
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy()
+    M = np.vstack(corpus[vec_col].to_numpy()).astype(np.float64)
+    M_norm = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(M_norm)
+
+    q = queries if queries is not None else df
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("nn_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    kk = k
+    ex = exclude_self
+
+    def topk(batches):
+        cid = b_ids.value
+        cm = b_m.value
+        n = cm.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            sims = Qn @ cm.T  # (q, n)
+            qids = pdf[id_col].to_numpy()
+            if ex:
+                # mask self-matches (qid present in corpus ids)
+                self_cols = np.searchsorted(cid, qids) if np.all(np.diff(cid) > 0) else None
+                if self_cols is not None:
+                    valid = (self_cols < n) & (cid[np.minimum(self_cols, n - 1)] == qids)
+                    sims[np.where(valid)[0], self_cols[valid]] = -np.inf
+                else:
+                    for qi, qid in enumerate(qids):
+                        sims[qi, cid == qid] = -np.inf
+            kth = min(kk, n - 1 if ex else n)
+            # vectorized top-k: argpartition then per-row sort of k items
+            part = np.argpartition(-sims, kth - 1, axis=1)[:, :kth]
+            psims = np.take_along_axis(sims, part, axis=1)
+            pids = cid[part]
+            # deterministic order within the k: sim desc, id asc
+            ordr = np.lexsort((pids, -psims), axis=1)
+            psims = np.take_along_axis(psims, ordr, axis=1)
+            pids = np.take_along_axis(pids, ordr, axis=1)
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(qids, kth),
+                    "nn_id": pids.ravel(),
+                    "rank": np.tile(np.arange(1, kth + 1, dtype=np.int32), nq),
+                    "cos_sim": psims.ravel(),
+                }
+            )
+
+    n_par = spark.sparkContext.defaultParallelism
+    return (
+        q.select(id_col, vec_col)
+        .repartition(n_par)
+        .mapInPandas(topk, schema=schema)
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: sign pattern of
+    n_planes dot products → integer bucket. Vectors in the same bucket
+    are cosine-similar candidates. Declarative: the plane matrix is a
+    literal array; dot products via F.aggregate over zipped arrays —
+    fully JVM-side, scan-speed at 100TB.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = None
+    for p in range(n_planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN via LSH buckets + within-bucket brute force (applyInPandas per
+    bucket). Recall < 1.0 by construction; the bucketing cost is one
+    shuffle on bucket id instead of an O(N²) cross join."""
+    bucketed = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("nn_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=[c.name for c in schema]).astype(
+                {id_col: "int64", "nn_id": "int64", "rank": "int32", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ Mn.T
+        out_id, out_nn, out_rank, out_sim = [], [], [], []
+        for i in range(len(ids)):
+            s = sims[i]
+            order = np.lexsort((ids, -s))
+            taken = 0
+            for j in order:
+                if ids[j] == ids[i]:
+                    continue
+                out_id.append(ids[i])
+                out_nn.append(ids[j])
+                out_rank.append(taken + 1)
+                out_sim.append(float(s[j]))
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame(
+            {id_col: out_id, "nn_id": out_nn, "rank": out_rank, "cos_sim": out_sim}
+        )
+
+    return (
+        bucketed.select("lsh_bucket", id_col, vec_col)
+        .groupBy("lsh_bucket")
+        .applyInPandas(per_bucket, schema=schema)
+    )

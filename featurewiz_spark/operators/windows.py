@@ -1,0 +1,178 @@
+"""Windowed / ordered temporal operators (SURVEY.md §2.5).
+
+All pure window functions — one shuffle on the entity key, then
+partition-local sorted scans. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(keys: str | list[str]) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def lag_lead(
+    df: DataFrame,
+    keys: str | list[str],
+    ts: str,
+    value: str,
+    lags: list[int] = (1,),
+    leads: list[int] = (),
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """W3: positional lag/lead per entity ordered by ts.
+
+    Reference TS_Lagging_Transformer (my_encoders.py:1280-1490) does
+    calendar lags via dict lookup; positional lag/lead is the Spark-native
+    primitive (`F.lag/lead` over a per-entity window).
+    """
+    order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]
+    w = Window.partitionBy(*_keys(keys)).orderBy(*order)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"{value}_lag{k}", F.lag(value, k).over(w))
+    for k in leads:
+        out = out.withColumn(f"{value}_lead{k}", F.lead(value, k).over(w))
+    return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    keys: str | list[str],
+    ts: str,
+    value: str,
+    window_rows: int | None = None,
+    window_range: str | None = None,
+    aggs: list[str] = ("avg",),
+    include_current: bool = True,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """W4: rolling (last-k-rows or time-range) and cumulative aggregates.
+
+    window_rows=k → rowsBetween(-(k-1), 0); window_range='7 days' →
+    rangeBetween over unix seconds; neither → cumulative
+    (unboundedPreceding..0). Reference cum* funcs in Groupby_Aggregator
+    func_set (my_encoders.py:495-497) are windows, not group aggs.
+    """
+    end = 0 if include_current else -1
+    if window_range is not None:
+        secs = None
+        w = (
+            Window.partitionBy(*_keys(keys))
+            .orderBy(F.unix_timestamp(F.col(ts)))
+            .rangeBetween(-_interval_seconds(window_range), end)
+        )
+        del secs
+        tag = window_range.replace(" ", "")
+    else:
+        order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]
+        wb = Window.partitionBy(*_keys(keys)).orderBy(*order)
+        if window_rows is not None:
+            w = wb.rowsBetween(-(window_rows - 1) if include_current else -window_rows, end)
+            tag = f"{window_rows}r"
+        else:
+            w = wb.rowsBetween(Window.unboundedPreceding, end)
+            tag = "cum"
+    out = df
+    for a in aggs:
+        fn = {"cumsum": "sum", "cummax": "max", "cummin": "min"}.get(a, a)
+        out = out.withColumn(f"{value}_{a}_{tag}", getattr(F, fn)(value).over(w))
+    return out
+
+
+def _interval_seconds(interval: str) -> int:
+    qty, unit = interval.split()
+    unit = unit.rstrip("s")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
+    return int(qty) * mult
+
+
+def forward_fill(
+    df: DataFrame, keys: str | list[str], ts: str, cols: list[str],
+    flag: bool = False, tie_break: list[str] | None = None,
+) -> DataFrame:
+    """W2 ffill: last non-null at-or-before each row per entity.
+
+    Reference fillna(method='ffill') + _Missing_Flag
+    (my_encoders.py:1055-1066). `last(c, ignorenulls=True)` over
+    unboundedPreceding..0 — single sorted window pass.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]
+    w = (
+        Window.partitionBy(*_keys(keys))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        if flag:
+            out = out.withColumn(f"{c}_missing_flag", F.isnull(c).cast("int"))
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def backfill(
+    df: DataFrame, keys: str | list[str], ts: str, cols: list[str],
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """W2 bfill: first non-null at-or-after each row per entity
+    (reference my_encoders.py:1060-1062 runs bfill after ffill)."""
+    order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]
+    w = (
+        Window.partitionBy(*_keys(keys))
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    keys: str | list[str],
+    ts: str,
+    gap: str = "30 minutes",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """W6 gap-based sessionization: a new session starts when the gap to
+    the previous event (per entity) exceeds `gap`. session_id = running
+    count of session starts — `sum(is_new_session) over
+    (partitionBy(entity).orderBy(ts))`.
+
+    Reference analog: FE_calculate_duration_from_timestamp
+    (featurewiz/featurewiz.py:3627-3683) pairs alternating rows; gap
+    sessionization is its north-rule generalization. Streaming variant
+    maps to F.session_window (see featurewiz_spark.streaming).
+    """
+    kl = _keys(keys)
+    w = Window.partitionBy(*kl).orderBy(F.col(ts))
+    gap_s = _interval_seconds(gap)
+    prev = F.lag(F.unix_timestamp(F.col(ts))).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_timestamp(F.col(ts)) - prev) > gap_s), 1
+    ).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def duration_between_rows(
+    df: DataFrame,
+    keys: str | list[str],
+    ts: str,
+    out_col: str = "duration_sec",
+    clamp_negative: bool = True,
+) -> DataFrame:
+    """W6 duration pairing: Δseconds to the previous row per entity;
+    negatives → 0 (reference featurewiz/featurewiz.py:3662-3671)."""
+    w = Window.partitionBy(*_keys(keys)).orderBy(F.col(ts))
+    d = F.unix_timestamp(F.col(ts)) - F.lag(F.unix_timestamp(F.col(ts))).over(w)
+    if clamp_negative:
+        d = F.greatest(d, F.lit(0))
+    return df.withColumn(out_col, d)

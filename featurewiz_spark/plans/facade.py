@@ -1,0 +1,157 @@
+"""FeatureWizSpark — the sklearn-style facade (reference FeatureWiz class,
+featurewiz/featurewiz.py:2874-3541) as a fit/transform pipeline object.
+
+fit_transform(df, target):
+  classify columns (§1.2) → calendar-expand date vars (W1) → missing
+  flags → groupby aggregates if 'groupby' in feature_engg (A1/A2) →
+  categorical crosses if 'interactions' (§2.8) → label-encode remaining
+  cats (E7) → median-clean NaNs (E9) → zero-variance drop (P5) → SULOV
+  (F1) → recursive ranking (F2) → selected feature DataFrame.
+
+transform(df) replays every fitted artifact (small tables / column
+lists) on new data — the leakage boundary of reference EP2
+(featurewiz.py:3253-3332): nothing is re-fit on test.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from featurewiz_spark.functions.interactions import categorical_crosses
+from featurewiz_spark.functions.transforms import drop_zero_variance
+from featurewiz_spark.operators.encoders import (
+    add_missing_flags,
+    apply_label_encoding,
+    clean_nans,
+    label_encode,
+)
+from featurewiz_spark.operators.groupby import (
+    apply_fitted_aggregates,
+    groupby_aggregate,
+)
+from featurewiz_spark.operators.timefeatures import add_calendar_features
+from featurewiz_spark.profiling import analyze_problem_type, classify_columns
+from featurewiz_spark.selection.ranker import recursive_feature_ranking
+from featurewiz_spark.selection.sulov import sulov_select
+
+
+@dataclass
+class FeatureWizSpark:
+    corr_limit: float = 0.90  # class-API default (featurewiz.py:2982)
+    feature_engg: list[str] = field(default_factory=list)  # {'groupby','interactions'}
+    skip_sulov: bool = False
+    skip_ranking: bool = False
+    sulov_mode: str = "pairwise"
+
+    # fitted state
+    features: list[str] = field(default_factory=list)
+    problem_type: str | None = None
+    _taxonomy: Any = None
+    _date_vars: list[str] = field(default_factory=list)
+    _cat_vars: list[str] = field(default_factory=list)
+    _num_vars: list[str] = field(default_factory=list)
+    _label_maps: dict = field(default_factory=dict)
+    _fitted_aggs: dict = field(default_factory=dict)
+    _nan_fills: dict = field(default_factory=dict)
+    _dropped_zero_var: list[str] = field(default_factory=list)
+    _target: str | None = None
+
+    # ------------------------------------------------------------------
+    def _engineer(self, df: DataFrame, fit: bool) -> DataFrame:
+        # W1 calendar expansion of date vars
+        for c in self._date_vars:
+            df = add_calendar_features(df, c, prefix=c, crosses=False)
+            df = df.drop(c)
+        # missing flags + median fill on numerics
+        if fit:
+            df = add_missing_flags(df, self._num_vars)
+            df, self._nan_fills = clean_nans(df, self._num_vars, flags=False)
+        else:
+            df = add_missing_flags(df, self._num_vars)
+            df = df.withColumns(
+                {
+                    c: F.coalesce(F.col(c), F.lit(v))
+                    for c, v in self._nan_fills.items()
+                }
+            )
+        # groupby aggregate features
+        if "groupby" in self.feature_engg and self._cat_vars and self._num_vars:
+            if fit:
+                df, self._fitted_aggs = groupby_aggregate(
+                    df, self._cat_vars, self._num_vars, ["mean"]
+                )
+            else:
+                df = apply_fitted_aggregates(df, self._fitted_aggs)
+        # categorical crosses
+        if "interactions" in self.feature_engg and len(self._cat_vars) >= 2:
+            df = categorical_crosses(df, self._cat_vars)
+            cross_cols = [
+                f"{a}_cross_{b}"
+                for i, a in enumerate(self._cat_vars)
+                for b in self._cat_vars[i + 1 :]
+            ]
+        else:
+            cross_cols = []
+        # label-encode categoricals (E7 sweep)
+        for c in self._cat_vars + cross_cols:
+            if fit:
+                df, mapping = label_encode(df, c)
+                self._label_maps[c] = mapping
+            else:
+                df = apply_label_encoding(df, c, self._label_maps[c])
+            df = df.drop(c)
+        return df
+
+    def fit_transform(self, df: DataFrame, target: str) -> DataFrame:
+        self._target = target
+        self.problem_type = analyze_problem_type(df, target)
+        tx = classify_columns(df, target=target)
+        self._taxonomy = tx
+        self._date_vars = tx.date_vars
+        self._cat_vars = tx.cat_vars + tx.string_bool_vars
+        self._num_vars = tx.continuous_vars + tx.int_vars + tx.num_bool_vars
+        drop = tx.cols_delete + tx.id_vars + tx.nlp_vars + tx.discrete_string_vars
+        df = df.drop(*drop)
+
+        df = self._engineer(df, fit=True)
+        candidates = [
+            f.name
+            for f in df.schema.fields
+            if f.name != target
+            and f.dataType.simpleString()
+            in ("int", "bigint", "double", "float", "smallint", "tinyint")
+        ]
+        df, self._dropped_zero_var = drop_zero_variance(df, candidates)
+        candidates = [c for c in candidates if c not in self._dropped_zero_var]
+
+        selected = candidates
+        if not self.skip_sulov and len(selected) > 1:
+            selected = sulov_select(
+                df, selected, target, corr_limit=self.corr_limit,
+                problem_type=self.problem_type, mode=self.sulov_mode,
+            )
+        if not self.skip_ranking and len(selected) > 1:
+            selected = recursive_feature_ranking(
+                df, selected, target, self.problem_type
+            )
+        self.features = selected
+        return df.select(*selected, target)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if not self.features:
+            raise RuntimeError("fit_transform must run first")
+        drop = (
+            self._taxonomy.cols_delete
+            + self._taxonomy.id_vars
+            + self._taxonomy.nlp_vars
+            + self._taxonomy.discrete_string_vars
+        )
+        df = df.drop(*[c for c in drop if c in df.columns])
+        df = self._engineer(df, fit=False)
+        keep = [c for c in self.features if c in df.columns]
+        extra = [c for c in ([self._target] if self._target in df.columns else [])]
+        return df.select(*keep, *extra)

@@ -1,0 +1,100 @@
+"""The flagship north-rule pipelines.
+
+`pages_feature_pipeline` — SURVEY.md §7.1 minimum end-to-end slice over
+the Common-Crawl-style pages table ``(url, warc_ts, html, text, lang)``:
+per (url, warc_ts) emit extracted text, n_chars signal, lag1, rolling
+7-row mean, backward as-of joined latest-snapshot value with tolerance,
+backfilled lang, gap-sessionized session id, calendar features.
+
+Physical plan shape (what .explain should show):
+  one Exchange (hashpartitioning url) → one Sort (url, warc_ts) → ALL
+  window functions in a single Window chain sharing that sort, plus the
+  as-of union pass on the same key. Projection-only features (calendar,
+  text stats) ride along with zero extra shuffles. The html→text UDF is
+  one ArrowEvalPython over the scan.
+
+`events_feature_pipeline` — the same feature set over the driver's
+events table (user_id as entity, ts as time), used by entry()/bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from featurewiz_spark.operators.asof import asof_join
+from featurewiz_spark.operators.timefeatures import add_calendar_features
+from featurewiz_spark.operators.windows import (
+    duration_between_rows,
+    forward_fill,
+    lag_lead,
+    rolling_agg,
+    sessionize,
+)
+from featurewiz_spark.text.extract import extract_text
+
+
+def pages_feature_pipeline(
+    pages: DataFrame,
+    snapshots: DataFrame | None = None,
+    gap: str = "30 minutes",
+    tolerance: str = "7 days",
+    extract: bool = True,
+) -> DataFrame:
+    """Materialize the per-(url, warc_ts) feature vector."""
+    df = pages
+    if extract:
+        df = extract_text(df, "html", "extracted_text")
+    df = df.withColumn("n_chars", F.length("text")).withColumn(
+        "n_words", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    df = lag_lead(df, "url", "warc_ts", "n_chars", lags=[1], leads=[1])
+    df = rolling_agg(df, "url", "warc_ts", "n_chars", window_rows=7, aggs=["avg"])
+    df = forward_fill(df, "url", "warc_ts", ["lang"], flag=True)
+    df = sessionize(df, "url", "warc_ts", gap=gap)
+    df = duration_between_rows(df, "url", "warc_ts")
+    df = add_calendar_features(df, "warc_ts", prefix="cal", crosses=False)
+    if snapshots is not None:
+        df = asof_join(
+            df,
+            snapshots,
+            on="url",
+            left_ts="warc_ts",
+            right_ts="snap_ts",
+            tolerance=tolerance,
+            strict=True,
+        )
+    return df
+
+
+def events_feature_pipeline(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Flagship over the driver's events table: windowed features per
+    (user_id, ts) + as-of join to the user's latest strictly-earlier
+    purchase (point-in-time snapshot semantics, zero leakage)."""
+    df = events
+    df = lag_lead(df, "user_id", "ts", "value", lags=[1], leads=[1],
+                  tie_break=["event_id"])
+    df = rolling_agg(df, "user_id", "ts", "value", window_rows=7, aggs=["avg", "sum"],
+                     tie_break=["event_id"])
+    df = rolling_agg(df, "user_id", "ts", "value", aggs=["cumsum"],
+                     tie_break=["event_id"])
+    df = sessionize(df, "user_id", "ts", gap=gap)
+    df = duration_between_rows(df, "user_id", "ts")
+    df = add_calendar_features(df, "ts", prefix="cal", crosses=False)
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("snap_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    df = asof_join(
+        df,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="snap_ts",
+        tolerance="7 days",
+        strict=True,
+        suffix="_asof",
+    )
+    return df

@@ -1,0 +1,358 @@
+"""SULOV — Searching for Uncorrelated List Of Variables (reference
+featurewiz/sulov_method.py:67-347), re-derived as distributed transforms.
+
+Stages (cites into the reference):
+1. fillna(0) on numeric candidates (sulov_method.py:96-99)
+2. |corr| matrix — here ONE distributed Gram-matrix pass over Arrow
+   batches (partial per-partition numpy accumulation, driver combine):
+   for k columns this is one job and O(k²) driver floats, vs pandas
+   df.corr() which needs all rows in memory (sulov_method.py:107-110)
+3. optional adaptive threshold = 75th pct of upper-triangle (:112-119)
+4. correlated pairs with |corr| ≥ limit, deterministically sorted (:121-136)
+5. mutual information of involved columns vs target (:164-181) — here a
+   binned-histogram MI over the same kind of single-pass aggregate
+6. greedy knockout in descending-MI order — 'pairwise' (:183-201) or
+   'groupwise' connected components keeping the argmax-MI column (:203-224)
+7. final = untouched numerics + survivors (:245-248)
+
+Steps 4-7 run on the driver over k column NAMES (tiny); all data-touching
+work is the two aggregate passes.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _gram_partials(df: DataFrame, cols: list[str]) -> tuple[np.ndarray, np.ndarray, int]:
+    """One mapInPandas pass → (sum_x[k], gram[k,k], n) combined on driver.
+
+    Scale path: each Arrow batch contributes a k-vector and k×k matrix;
+    partials per partition are a single row each, so the driver combines
+    #partitions tiny rows regardless of data size (the treeReduce Gram
+    accumulation called for by the north star).
+    """
+    k = len(cols)
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def part(batches):
+        n = 0
+        s = np.zeros(k)
+        g = np.zeros((k, k))
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype=np.float64)
+            X = np.nan_to_num(X, nan=0.0)  # reference fillna(0), :96-99
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+        )
+
+    parts = df.select(*cols).mapInPandas(part, schema=schema).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(k, k) for r in parts], axis=0)
+    return s, g, n
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], method: str = "pearson"
+) -> pd.DataFrame:
+    """k×k |Pearson| (or Spearman) correlation via one distributed pass.
+
+    Spearman = Pearson on per-column average ranks; the rank transform is
+    one window per column (shuffle-heavy — prefer pearson at scale, as
+    does the reference default, sulov_method.py:86).
+    """
+    if method == "spearman":
+        from pyspark.sql import Window
+
+        ranked = df
+        for c in cols:
+            w = Window.orderBy(F.col(c).asc_nulls_last())
+            tie_w = Window.partitionBy(F.col(c))
+            ranked = ranked.withColumn(
+                c, (F.rank().over(w) + (F.count(F.lit(1)).over(tie_w) - 1) / 2.0)
+            )
+        df = ranked
+    elif method != "pearson":
+        raise ValueError(method)
+    s, g, n = _gram_partials(df, cols)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    std = np.sqrt(np.clip(np.diag(cov), 1e-18, None))
+    corr = cov / np.outer(std, std)
+    np.fill_diagonal(corr, 1.0)
+    return pd.DataFrame(np.abs(corr), index=cols, columns=cols)
+
+
+def _digamma(x: np.ndarray) -> np.ndarray:
+    """Digamma via recurrence + asymptotic series (no scipy in env)."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    r = np.zeros_like(x)
+    while True:
+        m = x < 6
+        if not m.any():
+            break
+        r[m] -= 1.0 / x[m]
+        x[m] += 1
+    inv = 1.0 / x
+    inv2 = inv * inv
+    return r + np.log(x) - 0.5 * inv - inv2 * (1 / 12 - inv2 * (1 / 120 - inv2 / 252))
+
+
+def _ksg_mi_cont(x: np.ndarray, y: np.ndarray, k: int = 5, seed: int = 42) -> float:
+    """KSG estimator #1 (Kraskov 2004) for continuous x, continuous y —
+    the estimator behind sklearn's mutual_info_regression that the
+    reference calls (sulov_method.py:166-170). Max-norm in 2-D; tiny
+    jitter breaks ties exactly as sklearn does. O(n²) chunked — driver-
+    side on a ≤10k sample, mirroring the reference's own sampling."""
+    rng = np.random.default_rng(seed)
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    x = x + 1e-10 * max(1.0, float(np.mean(np.abs(x)))) * rng.standard_normal(x.size)
+    y = y + 1e-10 * max(1.0, float(np.mean(np.abs(y)))) * rng.standard_normal(y.size)
+    n = x.size
+    nx = np.empty(n, dtype=np.int64)
+    ny = np.empty(n, dtype=np.int64)
+    chunk = max(1, 4_000_000 // max(n, 1))  # ~32 MB per distance block
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        dx = np.abs(x[lo:hi, None] - x[None, :])
+        dy = np.abs(y[lo:hi, None] - y[None, :])
+        dz = np.maximum(dx, dy)
+        idx = np.arange(lo, hi)
+        dz[np.arange(hi - lo), idx] = np.inf
+        eps = np.partition(dz, k - 1, axis=1)[:, k - 1]
+        nx[lo:hi] = (dx < eps[:, None]).sum(axis=1) - 1
+        ny[lo:hi] = (dy < eps[:, None]).sum(axis=1) - 1
+    mi = (
+        _digamma(np.array([k]))[0]
+        + _digamma(np.array([n]))[0]
+        - float(np.mean(_digamma(nx + 1) + _digamma(ny + 1)))
+    )
+    return max(0.0, float(mi))
+
+
+def _ksg_mi_disc(x: np.ndarray, y_codes: np.ndarray, k: int = 5, seed: int = 42) -> float:
+    """Ross (2014) kNN MI for continuous x, discrete y — the estimator
+    behind sklearn's mutual_info_classif."""
+    rng = np.random.default_rng(seed)
+    x = x.astype(np.float64)
+    x = x + 1e-10 * max(1.0, float(np.mean(np.abs(x)))) * rng.standard_normal(x.size)
+    n = x.size
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    ys = y_codes[order]
+    radii = np.empty(n)
+    label_n = np.empty(n)
+    for lab in np.unique(ys):
+        mask = ys == lab
+        xl = xs[mask]
+        nl = xl.size
+        label_n[mask] = nl
+        if nl <= k:
+            radii[mask] = np.inf
+            continue
+        d = np.abs(xl[:, None] - xl[None, :])
+        np.fill_diagonal(d, np.inf)
+        radii[mask] = np.partition(d, k - 1, axis=1)[:, k - 1]
+    # m_i: neighbors of any label within the same-label kth distance
+    lo = np.searchsorted(xs, xs - radii, side="left")
+    hi = np.searchsorted(xs, xs + radii, side="right")
+    m = np.maximum(hi - lo - 1, 1)
+    valid = np.isfinite(radii)
+    if not valid.any():
+        return 0.0
+    mi = (
+        _digamma(np.array([n]))[0]
+        + _digamma(np.array([k]))[0]
+        - float(np.mean(_digamma(label_n[valid])))
+        - float(np.mean(_digamma(m[valid])))
+    )
+    return max(0.0, float(mi))
+
+
+def mutual_info(
+    df: DataFrame,
+    cols: list[str],
+    target: str,
+    problem_type: str = "Regression",
+    bins: int = 10,
+    sample_rows: int = 10000,
+    estimator: str = "knn",
+) -> dict[str, float]:
+    """Mutual information I(x; y) per candidate column.
+
+    estimator='knn' (default): the KSG/Ross kNN estimators sklearn uses
+    (n_neighbors=5, random_state=42 — sulov_method.py:166-170), computed
+    driver-side on a deterministic ≤`sample_rows` hash-ordered sample —
+    the SAME sampling concession the reference makes at scale
+    (featurewiz.py:1060-1068), so results are cluster-size invariant.
+
+    estimator='binned': fully-distributed equal-frequency-binned plug-in
+    estimator — quantile-bin x (and y if regression), 2-D histogram per
+    column in ONE mapInPandas pass, driver-side Σ p·log(p/(px·py)).
+    Coarser, but never collects rows; use when even a 10k sample per
+    selection round is unwanted.
+    """
+    if estimator == "knn":
+        sampled = (
+            df.select(*cols, target)
+            .dropna(subset=[target])
+            .orderBy(F.xxhash64(*cols, target))
+            .limit(sample_rows)
+            .toPandas()
+        )
+        out = {}
+        if problem_type == "Regression":
+            y = sampled[target].to_numpy(dtype=np.float64)
+            for c in cols:
+                x = np.nan_to_num(sampled[c].to_numpy(dtype=np.float64), nan=0.0)
+                out[c] = _ksg_mi_cont(x, y)
+        else:
+            codes, _ = pd.factorize(sampled[target], sort=True)
+            for c in cols:
+                x = np.nan_to_num(sampled[c].to_numpy(dtype=np.float64), nan=0.0)
+                out[c] = _ksg_mi_disc(x, codes)
+        return out
+    if estimator != "binned":
+        raise ValueError(estimator)
+    # bin edges from one approxQuantile call (distributed)
+    probs = [i / bins for i in range(1, bins)]
+    edges = dict(zip(cols, df.stat.approxQuantile(cols, probs, 0.001)))
+    if problem_type == "Regression":
+        y_edges = df.stat.approxQuantile([target], probs, 0.001)[0]
+        y_vals = None
+    else:
+        y_vals = sorted(
+            r[0] for r in df.select(target).distinct().collect() if r[0] is not None
+        )
+        y_edges = None
+
+    k = len(cols)
+    n_y = bins if y_vals is None else len(y_vals)
+    schema = T.StructType([T.StructField("h", T.ArrayType(T.LongType()))])
+    b_edges = [np.array(edges[c]) for c in cols]
+    y_map = {v: i for i, v in enumerate(y_vals)} if y_vals is not None else None
+    y_edge_arr = np.array(y_edges) if y_edges is not None else None
+
+    def part(batches):
+        H = np.zeros((k, bins, n_y), dtype=np.int64)
+        for pdf in batches:
+            if y_map is not None:
+                yb = pdf[target].map(y_map).to_numpy()
+            else:
+                yb = np.searchsorted(y_edge_arr, pdf[target].to_numpy(), side="left")
+            valid_y = ~pd.isna(pdf[target]).to_numpy()
+            for i, c in enumerate(cols):
+                x = pdf[c].to_numpy(dtype=np.float64)
+                x = np.nan_to_num(x, nan=0.0)
+                xb = np.searchsorted(b_edges[i], x, side="left")
+                np.add.at(H[i], (xb[valid_y], yb[valid_y].astype(int)), 1)
+        yield pd.DataFrame({"h": [H.ravel().tolist()]})
+
+    parts = df.select(*cols, target).mapInPandas(part, schema=schema).collect()
+    H = np.sum([np.array(r["h"]).reshape(k, bins, n_y) for r in parts], axis=0)
+    out = {}
+    for i, c in enumerate(cols):
+        h = H[i].astype(np.float64)
+        n = h.sum()
+        if n == 0:
+            out[c] = 0.0
+            continue
+        pxy = h / n
+        px = pxy.sum(axis=1, keepdims=True)
+        py = pxy.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = pxy * np.log(pxy / (px @ py))
+        out[c] = float(np.nansum(terms))
+    return out
+
+
+def sulov_select(
+    df: DataFrame,
+    cols: list[str],
+    target: str,
+    corr_limit: float = 0.70,
+    problem_type: str = "Regression",
+    mode: str = "pairwise",
+    adaptive_threshold: bool = False,
+    method: str = "pearson",
+) -> list[str]:
+    """Full SULOV: returns the selected column list (deterministic).
+
+    corr_limit defaults: 0.70 functional API (featurewiz.py:389) /
+    0.90 class API (featurewiz.py:2982) — caller picks.
+    """
+    if len(cols) < 2:
+        return list(cols)
+    corr = correlation_matrix(df, cols, method=method)
+    tri = [
+        (corr.iloc[i, j], cols[i], cols[j])
+        for i, j in combinations(range(len(cols)), 2)
+    ]
+    limit = corr_limit
+    if adaptive_threshold:
+        vals = sorted(v for v, _, _ in tri)
+        if vals:
+            limit = max(corr_limit, vals[int(0.75 * (len(vals) - 1))])
+            # reference: 75th pct of upper triangle (sulov_method.py:112-119)
+    # deterministic pair order: corr desc, then names (sulov_method.py:121-136)
+    pairs = sorted(
+        [(a, b) for v, a, b in tri if v >= limit],
+        key=lambda p: (-corr.loc[p[0], p[1]], p[0], p[1]),
+    )
+    if not pairs:
+        return list(cols)
+    involved = sorted({c for p in pairs for c in p})
+    mi = mutual_info(df, involved, target, problem_type)
+    untouched = [c for c in cols if c not in set(involved)]
+
+    if mode == "pairwise":
+        # walk columns in desc-MI order (stable name tie-break); keep col,
+        # remove its not-yet-analyzed correlated partners
+        # (reference 'pairwise', sulov_method.py:183-201)
+        order = sorted(involved, key=lambda c: (-mi[c], c))
+        adj: dict[str, set] = {c: set() for c in involved}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        removed: set = set()
+        kept: list[str] = []
+        for c in order:
+            if c in removed:
+                continue
+            kept.append(c)
+            removed |= adj[c] - set(kept)
+        survivors = kept
+    elif mode == "groupwise":
+        # connected components; keep argmax-MI per component
+        # (reference 'groupwise' via networkx, sulov_method.py:203-224)
+        import networkx as nx
+
+        g = nx.Graph()
+        g.add_edges_from(pairs)
+        survivors = [
+            max(sorted(comp), key=lambda c: mi[c])
+            for comp in nx.connected_components(g)
+        ]
+    else:
+        raise ValueError(mode)
+    # final = untouched + survivors, original column order (:245-248)
+    keep = set(untouched) | set(survivors)
+    return [c for c in cols if c in keep]

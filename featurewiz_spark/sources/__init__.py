@@ -1,0 +1,4 @@
+from featurewiz_spark.sources.pages import generate_pages, pages_schema
+from featurewiz_spark.sources.readers import load_table, read_any
+
+__all__ = ["generate_pages", "pages_schema", "load_table", "read_any"]

@@ -1,0 +1,11 @@
+from featurewiz_spark.streaming.stream_features import (
+    stream_calendar_features,
+    stream_sessionize,
+    stream_windowed_agg,
+)
+
+__all__ = [
+    "stream_sessionize",
+    "stream_windowed_agg",
+    "stream_calendar_features",
+]

@@ -1,0 +1,16 @@
+from featurewiz_spark.text.extract import extract_text, extract_text_udf
+from featurewiz_spark.text.stats import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_features,
+    add_token_counts,
+)
+
+__all__ = [
+    "extract_text",
+    "extract_text_udf",
+    "add_quality_features",
+    "add_token_counts",
+    "add_language_id",
+    "add_fingerprint",
+]

@@ -1,0 +1,130 @@
+"""html → text extraction as a vectorized Arrow pandas UDF.
+
+North-rule requirement (BASELINE.json input_hint): byte-identical
+extracted text per url versus a PINNED extractor. The container has no
+selectolax/bs4, so the pinned extractor is a deterministic pure-Python
+parser (regex-free state machine would also work; we use compiled regexes
+over whole Series — vectorized at the Arrow batch level, no per-row
+Python UDF dispatch).
+
+Semantics (pinned, versioned EXTRACTOR_VERSION):
+1. drop <script>...</script> and <style>...</style> blocks (non-greedy)
+2. <title> content becomes the first line
+3. remaining tags stripped; block-level tags (<p>, <div>, <br>, <li>,
+   headings) become newline separators
+4. HTML entities &amp; &lt; &gt; &quot; &#39; &nbsp; decoded
+5. whitespace normalized per line (collapse runs of spaces/tabs), empty
+   lines dropped, lines joined with '\n'
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+EXTRACTOR_VERSION = "1.0.0"
+
+_SCRIPT = re.compile(r"(?is)<script\b.*?</script\s*>")
+_STYLE = re.compile(r"(?is)<style\b.*?</style\s*>")
+_TITLE = re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
+_BLOCK = re.compile(r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>")
+_TAG = re.compile(r"(?s)<[^>]+>")
+_WS = re.compile(r"[ \t\r\f\v]+")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&nbsp;": " ",
+}
+
+
+def extract_one(html: bytes | str) -> str:
+    """Pinned extractor for a single document (the per-row oracle)."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
+    s = _SCRIPT.sub(" ", s)
+    s = _STYLE.sub(" ", s)
+    m = _TITLE.search(s)
+    title = m.group(1) if m else ""
+    s = _TITLE.sub(" ", s)
+    s = _BLOCK.sub("\n", s)
+    s = _TAG.sub(" ", s)
+    for k, v in _ENTITIES.items():
+        s = s.replace(k, v)
+        title = title.replace(k, v)
+    lines = []
+    title = _WS.sub(" ", title).strip()
+    if title:
+        lines.append(title)
+    for line in s.split("\n"):
+        line = _WS.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+@pandas_udf(T.StringType())
+def _extract_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_one)
+
+
+def extract_text_udf(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Pandas-UDF extractor (the pinned per-row oracle). Arrow-batched;
+    batch size governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+    Prefer :func:`extract_text` (JVM) in pipelines — Python regex per row
+    is the slow path and PySpark's local-mode Python runner serializes
+    badly at high thread counts."""
+    return df.withColumn(out_col, _extract_udf(F.col(html_col)))
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """JVM extractor: the same pinned semantics as :func:`extract_one`,
+    expressed as a regexp_replace/higher-order-function cascade — stays
+    inside whole-stage codegen, no Python workers, scan-speed at 100TB.
+    Byte-identity vs the Python oracle is pytest-enforced
+    (tests/test_text.py::test_sql_extractor_matches_python_oracle)."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<script\b.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b.*?</style\s*>", " ")
+    title = F.regexp_extract(s, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    s = F.regexp_replace(s, r"(?is)<title\b[^>]*>.*?</title\s*>", " ")
+    s = F.regexp_replace(
+        s, r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>", "\n"
+    )
+    s = F.regexp_replace(s, r"(?s)<[^>]+>", " ")
+    for k, v in _ENTITIES.items():
+        s = F.replace(s, F.lit(k), F.lit(v))
+        title = F.replace(title, F.lit(k), F.lit(v))
+    title = F.trim(F.regexp_replace(title, r"[ \t\r\f\v]+", " "))
+    lines = F.transform(
+        F.split(s, "\n"),
+        lambda line: F.trim(F.regexp_replace(line, r"[ \t\r\f\v]+", " ")),
+    )
+    body_lines = F.filter(lines, lambda line: F.length(line) > 0)
+    all_lines = F.when(F.length(title) > 0, F.concat(F.array(title), body_lines)).otherwise(
+        body_lines
+    )
+    return df.withColumn(out_col, F.array_join(all_lines, "\n"))
+
+
+def decode_image_stub(df: DataFrame, binary_col: str, out_col: str = "image_features"):
+    """Multimodal plumbing: image/audio decode is STUBBED (no PIL/cv2 in
+    this container). The Spark-side contract — binary in, fixed-width
+    float vector out via mapInPandas — is real; the decode body raises.
+    """
+    raise NotImplementedError(
+        "image/audio decode requires codec libraries not present in this "
+        "container; see featurewiz_spark.text.multimodal for the tested "
+        "Spark plumbing with a deterministic fake decoder"
+    )

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The container ships no codec libraries (PIL/cv2/librosa), so the DECODE
+step is stubbed — but everything Spark-side is real and tested:
+schema contract, Arrow batch shape, mapInPandas signature, partitioning.
+A deterministic fake decoder stands in so the pipeline (and its tests)
+exercise the exact data path a real decoder would use; swap
+`_decode_image_bytes` for a real implementation in production.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_FEATURE_DIM = 8
+
+image_meta_schema = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _decode_image_bytes(buf: bytes) -> np.ndarray:
+    """STUB decoder. Real version: PIL.Image.open(BytesIO(buf)) → resize
+    → channel means/hists. Deterministic fake: byte-level statistics so
+    unit tests can pin exact outputs.
+
+    Raises NotImplementedError for mime types a real codec would need —
+    callers must treat decode failures as data, not crashes.
+    """
+    if not buf:
+        raise NotImplementedError("empty payload: real codec required")
+    a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+    return np.array(
+        [
+            len(a),
+            a.mean(),
+            a.std(),
+            a.min(),
+            a.max(),
+            np.median(a),
+            a[: len(a) // 2].mean(),
+            a[len(a) // 2 :].mean(),
+        ]
+    )
+
+
+def extract_image_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """binary → fixed-width float feature vector via mapInPandas.
+
+    Arrow streams the binary column in bounded batches
+    (spark.sql.execution.arrow.maxRecordsPerBatch); rows that fail decode
+    yield NULL features + error string instead of failing the job — at
+    10^12 scale a poison row must never kill the pipeline.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            feats, errs = [], []
+            for buf in pdf[content_col]:
+                try:
+                    feats.append(_decode_image_bytes(bytes(buf)).tolist())
+                    errs.append(None)
+                except (NotImplementedError, ValueError) as ex:
+                    feats.append(None)
+                    errs.append(str(ex))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": feats, "decode_error": errs}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame-sampling contract: one output row per sampled frame with a
+    frame index. Decode is the same stub; the EXPLODED row shape (media ×
+    frame) is the part that matters for downstream joins/partitioning."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                # fake "frames": fixed-size strides over the payload
+                n_frames = max(1, len(b) // 64)
+                for fi in range(0, n_frames, every_n):
+                    chunk = b[fi * 64 : (fi + 1) * 64]
+                    if not chunk:
+                        continue
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append(_decode_image_bytes(chunk).tolist())
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(decode, schema=out_schema)

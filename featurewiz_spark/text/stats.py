@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines: quality scoring, token
+counting, language ID, fingerprinting. All JVM-side built-ins (no Python
+in the hot path) so they run at 100TB scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword lists for the n-gram/stopword-hit heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+_TOKEN_REGEX = r"\\w+|[^\\w\\s]"  # BPE-ish: words plus punctuation marks
+
+
+def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, word count, mean word length, punctuation
+    ratio, stopword ratio (en), uppercase ratio, digit ratio."""
+    t = F.col(text_col)
+    words = F.split(t, r"\s+")
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.transform(words, lambda w: F.lower(w)), sw))
+    return df.withColumns(
+        {
+            "q_n_chars": n_chars,
+            "q_n_words": n_words,
+            "q_mean_word_len": (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)),
+            "q_punct_ratio": (
+                n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+            ) / F.greatest(n_chars, F.lit(1)),
+            "q_digit_ratio": (
+                n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+            ) / F.greatest(n_chars, F.lit(1)),
+            "q_upper_ratio": (
+                n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+            ) / F.greatest(n_chars, F.lit(1)),
+            "q_stopword_ratio": stop_hits / F.greatest(n_words, F.lit(1)),
+        }
+    )
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (words and punctuation counted separately)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "tok_ws": F.size(F.split(t, r"\s+")),
+            "tok_regex": F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0)),
+        }
+    )
+
+
+def add_language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Language ID via stopword-hit voting: per language, count
+    distinct stopword hits in the text; argmax wins (tie → 'en').
+    Declarative: transform/array ops over a lowered token array."""
+    toks = F.transform(F.split(F.col(text_col), r"\s+"), lambda w: F.lower(w))
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(toks, sw)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowered text
+    (content hash) + xxhash64 (fast 64-bit) — both JVM built-ins."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_xx64": F.xxhash64(norm),
+        }
+    )

@@ -1,0 +1,146 @@
+"""Lineage/resume + streaming-operator (batch-mode) + multimodal tests."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fw_lineage_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark, n=300):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "user": rng.integers(0, 10, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "v": rng.normal(size=n),
+        }
+    )
+    return spark.createDataFrame(pdf.drop_duplicates(["user", "ts"]))
+
+
+def test_resume_skips_done_buckets_and_is_identical(spark, tmpdir):
+    from featurewiz_spark.plans.lineage import resume_plan, run_resumable, validate_stage
+
+    src = _events(spark)
+
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return df.withColumn("v2", F.col("v") * 2)
+
+    out1 = run_resumable(spark, src, transform, tmpdir, "double", ["user"], n_buckets=8)
+    n1 = out1.count()
+    assert resume_plan(spark, tmpdir, "double", 8) == []  # all buckets done
+    # second run: nothing to do, transform NOT called again
+    out2 = run_resumable(spark, src, transform, tmpdir, "double", ["user"], n_buckets=8)
+    assert len(calls) == 1
+    assert out2.count() == n1
+    # manifests validate clean
+    assert validate_stage(spark, tmpdir, "double").count() == 0
+
+
+def test_resume_recomputes_only_missing_buckets(spark, tmpdir):
+    from featurewiz_spark.plans.lineage import resume_plan, run_resumable
+
+    src = _events(spark)
+
+    def transform(df):
+        return df.withColumn("v2", F.col("v") * 2)
+
+    full = run_resumable(spark, src, transform, tmpdir, "s", ["user"], n_buckets=8)
+    expected = {
+        (r["user"], r["ts"], round(r["v2"], 9)) for r in full.collect()
+    }
+    # simulate a crash: delete 2 buckets' manifest rows + data
+    man_path = os.path.join(tmpdir, "_manifest", "s")
+    man = spark.read.parquet(man_path).filter(~F.col("__bucket").isin([0, 3]))
+    man.write.mode("overwrite").parquet(man_path + "_new")
+    shutil.rmtree(man_path)
+    os.rename(man_path + "_new", man_path)
+    for b in (0, 3):
+        shutil.rmtree(os.path.join(tmpdir, "s", f"__bucket={b}"), ignore_errors=True)
+    assert sorted(resume_plan(spark, tmpdir, "s", 8)) == [0, 3]
+    resumed = run_resumable(spark, src, transform, tmpdir, "s", ["user"], n_buckets=8)
+    got = {(r["user"], r["ts"], round(r["v2"], 9)) for r in resumed.collect()}
+    assert got == expected  # byte-equivalent output after resume
+
+
+def test_stream_sessionize_batch_semantics(spark):
+    from featurewiz_spark.streaming import stream_sessionize
+
+    pdf = pd.DataFrame(
+        {
+            "user": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00",
+                    "2024-01-01 10:10",
+                    "2024-01-01 11:30",
+                    "2024-01-01 09:00",
+                ]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = stream_sessionize(df, ["user"], "ts", gap="30 minutes", value="v").toPandas()
+    u1 = out[out.user == 1].sort_values("session_start")
+    assert len(u1) == 2  # two sessions (gap > 30min)
+    assert u1.iloc[0]["n_events"] == 2
+    assert abs(u1.iloc[0]["v_sum"] - 3.0) < 1e-9
+    assert u1.iloc[1]["n_events"] == 1
+
+
+def test_stream_windowed_agg_batch_semantics(spark):
+    from featurewiz_spark.streaming import stream_windowed_agg
+
+    pdf = pd.DataFrame(
+        {
+            "user": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:01", "2024-01-01 10:05", "2024-01-01 10:11"]
+            ),
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = stream_windowed_agg(df, ["user"], "ts", "v", window="10 minutes").toPandas()
+    out = out.sort_values("window_start")
+    assert len(out) == 2
+    assert out.iloc[0]["n"] == 2 and abs(out.iloc[0]["v_sum"] - 3.0) < 1e-9
+    assert out.iloc[1]["n"] == 1 and abs(out.iloc[1]["v_sum"] - 4.0) < 1e-9
+
+
+def test_multimodal_decode_plumbing(spark):
+    from featurewiz_spark.text.multimodal import extract_image_features
+
+    rows = [(1, b"abcdefgh" * 10), (2, b""), (3, bytes(range(64)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert len(out[1]["features"]) == 8
+    assert out[2]["features"] is None  # poison row survives as data
+    assert "codec" in out[2]["decode_error"]
+    assert out[3]["features"][0] == 64.0  # deterministic fake: length
+
+
+def test_video_frame_sampling_shape(spark):
+    from featurewiz_spark.text.multimodal import sample_video_frames
+
+    rows = [(1, bytes(range(256)) * 4)]  # 1024 bytes → 16 "frames"
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = sample_video_frames(df, every_n=4).toPandas()
+    assert (out["media_id"] == 1).all()
+    assert list(out["frame_idx"]) == [0, 4, 8, 12]

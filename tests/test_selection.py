@@ -1,0 +1,158 @@
+"""SULOV / MI / recursive-ranking / profiling / facade tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corr_pdf():
+    rng = np.random.default_rng(21)
+    n = 2000
+    x1 = rng.normal(size=n)
+    x2 = x1 + rng.normal(scale=0.05, size=n)  # ~x1 (corr ≈ 0.999)
+    x3 = rng.normal(size=n)  # independent
+    x4 = x3 * 0.9 + rng.normal(scale=0.1, size=n)  # ~x3
+    noise = rng.normal(size=n)
+    y = 3 * x1 + x3 + rng.normal(scale=0.1, size=n)
+    return pd.DataFrame(
+        {"x1": x1, "x2": x2, "x3": x3, "x4": x4, "noise": noise, "y": y}
+    )
+
+
+def test_correlation_matrix_matches_pandas(spark, corr_pdf):
+    from featurewiz_spark.selection.sulov import correlation_matrix
+
+    df = spark.createDataFrame(corr_pdf)
+    cols = ["x1", "x2", "x3", "x4", "noise"]
+    got = correlation_matrix(df, cols)
+    exp = corr_pdf[cols].corr().abs()
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), atol=1e-9)
+
+
+def test_mutual_info_ranks_signal_over_noise(spark, corr_pdf):
+    from featurewiz_spark.selection.sulov import mutual_info
+
+    df = spark.createDataFrame(corr_pdf)
+    mi = mutual_info(df, ["x1", "x3", "noise"], "y", "Regression")
+    assert mi["x1"] > mi["noise"]
+    assert mi["x3"] > mi["noise"]
+    assert mi["x1"] > mi["x3"]  # stronger coefficient → higher MI
+
+
+@pytest.mark.parametrize("mode", ["pairwise", "groupwise"])
+def test_sulov_removes_redundant_keeps_best(spark, corr_pdf, mode):
+    from featurewiz_spark.selection.sulov import sulov_select
+
+    df = spark.createDataFrame(corr_pdf)
+    sel = sulov_select(
+        df, ["x1", "x2", "x3", "x4", "noise"], "y",
+        corr_limit=0.7, mode=mode,
+    )
+    # one of each correlated pair survives; noise untouched (no pair)
+    assert ("x1" in sel) != ("x2" in sel)
+    assert ("x3" in sel) != ("x4" in sel)
+    assert "noise" in sel
+    # the higher-MI member of each pair is kept
+    assert "x1" in sel
+    assert "x3" in sel
+
+
+def test_sulov_deterministic(spark, corr_pdf):
+    from featurewiz_spark.selection.sulov import sulov_select
+
+    df = spark.createDataFrame(corr_pdf)
+    a = sulov_select(df, ["x1", "x2", "x3", "x4", "noise"], "y", 0.7)
+    b = sulov_select(df, ["x1", "x2", "x3", "x4", "noise"], "y", 0.7)
+    assert a == b
+
+
+def test_numpy_gbt_learns_and_ranks(corr_pdf):
+    from featurewiz_spark.selection.gbt import NumpyGBT
+
+    X = corr_pdf[["x1", "noise"]].to_numpy()
+    y = corr_pdf["y"].to_numpy()
+    m = NumpyGBT(n_rounds=20, max_depth=3)
+    m.fit(X, y)
+    imp = m.feature_importances()
+    assert imp[0] > imp[1] * 10  # x1 dominates noise
+
+
+def test_recursive_ranking_selects_signal(spark, corr_pdf):
+    from featurewiz_spark.selection.ranker import recursive_feature_ranking
+
+    df = spark.createDataFrame(corr_pdf)
+    sel = recursive_feature_ranking(
+        df, ["x1", "x3", "noise"], "y", "Regression", sample_rows=2000
+    )
+    assert "x1" in sel
+    assert "noise" not in sel or len(sel) == 3  # noise must not beat signal
+
+
+def test_classify_columns_taxonomy(spark):
+    from featurewiz_spark.profiling import classify_columns
+
+    rng = np.random.default_rng(5)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "const": 1,
+            "mostly_null": [None] * 495 + [1.0] * 5,
+            "bools": rng.integers(0, 2, n),
+            "yn": rng.choice(["y", "n"], n),
+            "cat": rng.choice(list("abcde"), n),
+            "bigcat": [f"v{i % 80}" for i in range(n)],
+            "ident": [f"id_{i}" for i in range(n)],
+            "cont": rng.normal(size=n),
+            "ints": rng.integers(0, 1000, n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "y": rng.integers(0, 2, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    tx = classify_columns(df, target="y")
+    assert "const" in tx.cols_delete
+    assert "mostly_null" in tx.cols_delete
+    assert "bools" in tx.num_bool_vars
+    assert "yn" in tx.string_bool_vars
+    assert "cat" in tx.cat_vars
+    assert "bigcat" in tx.discrete_string_vars
+    assert "ident" in tx.id_vars
+    assert "cont" in tx.continuous_vars
+    assert "ints" in tx.int_vars
+    assert "ts" in tx.date_vars
+
+
+def test_analyze_problem_type(spark):
+    from featurewiz_spark.profiling import analyze_problem_type
+
+    pdf = pd.DataFrame(
+        {
+            "bin": np.random.default_rng(1).integers(0, 2, 100),
+            "multi": np.random.default_rng(2).integers(0, 5, 100),
+            "reg": np.random.default_rng(3).normal(size=100),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    assert analyze_problem_type(df, "bin") == "Binary_Classification"
+    assert analyze_problem_type(df, "multi") == "Multi_Classification"
+    assert analyze_problem_type(df, "reg") == "Regression"
+
+
+def test_facade_fit_transform_and_replay(spark, corr_pdf):
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    pdf = corr_pdf.copy()
+    pdf["cat"] = np.random.default_rng(9).choice(["a", "b", "c"], len(pdf))
+    df = spark.createDataFrame(pdf)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    fw = FeatureWizSpark(corr_limit=0.7, feature_engg=["groupby"])
+    out = fw.fit_transform(train, "y")
+    assert fw.features  # something selected
+    assert set(out.columns) == set(fw.features + ["y"])
+    # redundant partner eliminated by SULOV
+    assert ("x1" in fw.features) != ("x2" in fw.features)
+    replayed = fw.transform(test)
+    assert [c for c in replayed.columns if c != "y"] == fw.features
+    assert replayed.count() > 0
