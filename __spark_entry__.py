@@ -591,6 +591,99 @@ def _q46_ann_lsh(spark, sf):
     )
 
 
+def _q47_woe(spark, sf):
+    from featurewiz_spark.operators.encoders import woe_encode
+
+    o = _t(spark, sf, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("double")
+    )
+    d, _ = woe_encode(o, "o_orderpriority", "y", regularization=1.0)
+    return d.select(
+        "o_orderkey", F.round("o_orderpriority_woe", 6).alias("pri_woe")
+    )
+
+
+def _q48_james_stein(spark, sf):
+    from featurewiz_spark.operators.encoders import james_stein_groupby
+
+    li = _t(spark, sf, "lineitem")
+    d, _ = james_stein_groupby(li, ["l_returnflag"], ["l_quantity"], k=10.0)
+    return d.select(
+        "l_orderkey", "l_linenumber",
+        F.round("GroupEncoded_l_returnflag_l_quantity", 6).alias("js_qty"),
+    )
+
+
+def _q49_helmert(spark, sf):
+    from featurewiz_spark.operators.encoders import contrast_encode
+
+    o = _t(spark, sf, "orders")
+    d, _ = contrast_encode(o, "o_orderpriority", kind="helmert")
+    return d.select(
+        "o_orderkey",
+        *[
+            F.round(f"o_orderpriority_helmert_{j}", 6).alias(f"h{j}")
+            for j in range(4)
+        ],
+    )
+
+
+def _q50_basen(spark, sf):
+    from featurewiz_spark.operators.encoders import basen_encode
+
+    o = _t(spark, sf, "orders")
+    d, _ = basen_encode(o, "o_orderpriority", base=2)
+    return d.select(
+        "o_orderkey",
+        *[F.col(f"o_orderpriority_base2_{j}").alias(f"b{j}") for j in range(3)],
+    )
+
+
+def _q51_uniform_bin(spark, sf):
+    from featurewiz_spark.operators.binning import uniform_bin
+
+    li = _t(spark, sf, "lineitem")
+    d, _ = uniform_bin(li, "l_extendedprice", bins=8)
+    return d.select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice_bin").alias("price_bin")
+    )
+
+
+def _q52_sequential_split(spark, sf):
+    """P9 time-ordered 3-way split: each event labeled with its slice
+    (train/valid/test by warc-style timestamp order)."""
+    from featurewiz_spark.operators.sampling import split_n_ways
+
+    ev = _t(spark, sf, "events")
+    parts = split_n_ways(ev, [0.6, 0.2, 0.2], how="sequential", time_col="ts")
+    lab = None
+    for i, p in enumerate(parts):
+        q = p.select("event_id", F.lit(i).alias("part"))
+        lab = q if lab is None else lab.unionByName(q)
+    return lab
+
+
+def _q53_stratified_sample(spark, sf):
+    """P10 stratified sub-sample — seeded, deterministic row count per
+    rerun; no SQL oracle (sampling RNG differs across engines)."""
+    from featurewiz_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf, "events")
+    samp = stratified_sample(ev, "event_type", n_rows=1000, seed=42)
+    return samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q54_kmeans_bin(spark, sf):
+    """B1 kmeans-strategy discretization — histogram-compressed 1-D
+    Lloyd; no SQL oracle (iterative algorithm), pytest-verified."""
+    from featurewiz_spark.operators.binning import apply_bin_edges, kmeans_bin_edges
+
+    li = _t(spark, sf, "lineitem")
+    edges = kmeans_bin_edges(li, "l_extendedprice", bins=4)
+    d = apply_bin_edges(li, "l_extendedprice", edges, "price_kbin")
+    return d.groupBy("price_kbin").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -639,6 +732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_mad_cap": _q44_mad_cap,
         "q45_elapsed": _q45_elapsed,
         "q46_ann_lsh": _q46_ann_lsh,
+        "q47_woe": _q47_woe,
+        "q48_james_stein": _q48_james_stein,
+        "q49_helmert": _q49_helmert,
+        "q50_basen": _q50_basen,
+        "q51_uniform_bin": _q51_uniform_bin,
+        "q52_sequential_split": _q52_sequential_split,
+        "q53_stratified_sample": _q53_stratified_sample,
+        "q54_kmeans_bin": _q54_kmeans_bin,
     }
 
 
@@ -1002,6 +1103,82 @@ def oracle_sql() -> dict[str, str]:
                    dayofweek(ts) + 1 AS el_end_dayofweek,
                    CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN 1 ELSE 0 END AS el_end_is_weekend
             FROM events
+        """,
+        "q47_woe": """
+            WITH t AS (
+                SELECT o_orderkey, o_orderpriority AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+                FROM orders
+            ),
+            tot AS (SELECT sum(y) AS pos, sum(1.0 - y) AS neg FROM t),
+            enc AS (
+                SELECT v,
+                       ln(((sum(y) + 1.0) / (max(tot.pos) + 2.0))
+                          / ((sum(1.0 - y) + 1.0) / (max(tot.neg) + 2.0))) AS woe
+                FROM t, tot GROUP BY v
+            )
+            SELECT t.o_orderkey, round(enc.woe, 6) AS pri_woe
+            FROM t JOIN enc USING (v)
+        """,
+        "q48_james_stein": """
+            WITH g AS (SELECT avg(l_quantity) AS gm FROM lineitem),
+            enc AS (
+                SELECT l_returnflag,
+                       (count(l_quantity) * avg(l_quantity) + 10.0 * max(g.gm))
+                       / (count(l_quantity) + 10.0) AS js
+                FROM lineitem, g GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, round(enc.js, 6) AS js_qty
+            FROM lineitem l JOIN enc USING (l_returnflag)
+        """,
+        "q49_helmert": """
+            WITH lv AS (
+                SELECT v, row_number() OVER (ORDER BY v) - 1 AS i
+                FROM (SELECT DISTINCT o_orderpriority AS v FROM orders)
+            )
+            SELECT o.o_orderkey,
+                   round(CASE WHEN lv.i <= 0 THEN -1.0 WHEN lv.i = 1 THEN 1.0 ELSE 0.0 END, 6) AS h0,
+                   round(CASE WHEN lv.i <= 1 THEN -1.0 WHEN lv.i = 2 THEN 2.0 ELSE 0.0 END, 6) AS h1,
+                   round(CASE WHEN lv.i <= 2 THEN -1.0 WHEN lv.i = 3 THEN 3.0 ELSE 0.0 END, 6) AS h2,
+                   round(CASE WHEN lv.i <= 3 THEN -1.0 WHEN lv.i = 4 THEN 4.0 ELSE 0.0 END, 6) AS h3
+            FROM orders o JOIN lv ON o.o_orderpriority = lv.v
+        """,
+        "q50_basen": """
+            WITH lv AS (
+                SELECT v, row_number() OVER (ORDER BY v) AS code
+                FROM (SELECT DISTINCT o_orderpriority AS v FROM orders)
+            )
+            SELECT o.o_orderkey,
+                   (lv.code // 4) % 2 AS b0,
+                   (lv.code // 2) % 2 AS b1,
+                   lv.code % 2 AS b2
+            FROM orders o JOIN lv ON o.o_orderpriority = lv.v
+        """,
+        "q51_uniform_bin": """
+            WITH s AS (
+                SELECT min(l_extendedprice) AS lo,
+                       (max(l_extendedprice) - min(l_extendedprice)) / 8 AS w
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_extendedprice <= lo + w*1 THEN 0
+                        WHEN l_extendedprice <= lo + w*2 THEN 1
+                        WHEN l_extendedprice <= lo + w*3 THEN 2
+                        WHEN l_extendedprice <= lo + w*4 THEN 3
+                        WHEN l_extendedprice <= lo + w*5 THEN 4
+                        WHEN l_extendedprice <= lo + w*6 THEN 5
+                        WHEN l_extendedprice <= lo + w*7 THEN 6
+                        ELSE 7 END AS price_bin
+            FROM lineitem, s
+        """,
+        "q52_sequential_split": """
+            WITH r AS (
+                SELECT event_id, percent_rank() OVER (ORDER BY ts) AS pr
+                FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN pr <= 0.6 THEN 0 WHEN pr <= 0.8 THEN 1 ELSE 2 END AS part
+            FROM r
         """,
     }
 

@@ -82,15 +82,15 @@ def run_pages_worker(cores: int, path: str) -> None:
     pages = spark.read.parquet(path)
     df = pages_feature_pipeline(pages, extract=True)
     times = []
-    for _ in range(2):
+    for i in range(4):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
-    # min-of-2: run 1 doubles as JIT/codegen warm-up; the min is the
-    # closest observation to the uncontended steady-state cost on a
-    # noisy-neighbor host
+    # run 0 is the JIT/codegen warm-up (untimed); min-of-3 thereafter —
+    # the min is the closest observation to the uncontended steady-state
+    # cost on a noisy-neighbor host
     n = pages.count()
-    print(json.dumps({"sec": min(times), "all_times": times, "rows": n,
+    print(json.dumps({"sec": min(times[1:]), "all_times": times, "rows": n,
                       "cores": cores}))
     spark.stop()
 

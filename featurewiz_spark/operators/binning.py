@@ -83,6 +83,74 @@ def mad_outlier_cap(
     return out, {"median": med, "mad": mad, "low": lo, "high": hi}
 
 
+def uniform_bin(
+    df: DataFrame, col: str, bins: int = 4, out_col: str | None = None
+) -> tuple[DataFrame, list[float]]:
+    """B1 KBinsDiscretizer strategy='uniform' (FE_discretize_numeric_
+    variables, reference featurewiz/featurewiz.py:2481-2523): equal-width
+    edges between min and max from one agg pass."""
+    out_col = out_col or f"{col}_bin"
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins or 1.0
+    edges = [lo + width * i for i in range(1, bins)]
+    return apply_bin_edges(df, col, edges, out_col), edges
+
+
+def kmeans_bin_edges(
+    df: DataFrame, col: str, bins: int = 4, hist_bins: int = 1024,
+    max_iter: int = 50,
+) -> list[float]:
+    """B1 KBinsDiscretizer strategy='kmeans' — 1-D k-means re-derived for
+    scale: ONE groupBy pass compresses the column to a ≤hist_bins
+    weighted histogram, then driver-side Lloyd iterations on the (value,
+    weight) pairs (exact same optimum as row-level 1-D k-means up to
+    histogram resolution, at any data size). Deterministic init =
+    equal-spaced quantile centers. Returns bin edges (midpoints between
+    sorted final centers), applied via apply_bin_edges."""
+    import numpy as np
+
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        return []
+    w = (hi - lo) / hist_bins
+    hist = (
+        df.select(
+            F.least(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(hist_bins - 1)
+            ).alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    vals = np.array([lo + (r["b"] + 0.5) * w for r in hist])
+    wts = np.array([r["count"] for r in hist], dtype=np.float64)
+    order = np.argsort(vals)
+    vals, wts = vals[order], wts[order]
+    # init: weighted quantile positions
+    cum = np.cumsum(wts) / wts.sum()
+    centers = np.array(
+        [vals[np.searchsorted(cum, (i + 0.5) / bins)] for i in range(bins)]
+    )
+    for _ in range(max_iter):
+        assign = np.argmin(np.abs(vals[:, None] - centers[None, :]), axis=1)
+        new = np.array(
+            [
+                np.average(vals[assign == j], weights=wts[assign == j])
+                if (assign == j).any()
+                else centers[j]
+                for j in range(bins)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    centers = np.sort(centers)
+    return [float((centers[i] + centers[i + 1]) / 2) for i in range(bins - 1)]
+
+
 def tree_bin_edges(
     df: DataFrame, col: str, target: str, max_depth: int = 2, sample_rows: int = 10000,
 ) -> list[float]:

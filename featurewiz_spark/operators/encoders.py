@@ -184,6 +184,156 @@ def ordered_target_encode(
     )
 
 
+def woe_encode(
+    df: DataFrame, col: str, target: str, regularization: float = 1.0
+) -> tuple[DataFrame, DataFrame]:
+    """A7/E5 WOEEncoder (reference registry settings.py:24-31): weight of
+    evidence for a binary 0/1 target,
+    ln( ((pos_c + reg)/(pos + 2reg)) / ((neg_c + reg)/(neg + 2reg)) ) —
+    the regularized form used by the category_encoders library the
+    reference wraps. One hash aggregate + broadcast join."""
+    tot = df.agg(
+        F.sum(F.col(target).cast("double")).alias("pos"),
+        F.sum(F.lit(1.0) - F.col(target).cast("double")).alias("neg"),
+    ).first()
+    pos, neg, r = float(tot["pos"]), float(tot["neg"]), regularization
+    enc = df.groupBy(F.col(col).alias("value")).agg(
+        F.sum(F.col(target).cast("double")).alias("__p"),
+        F.sum(F.lit(1.0) - F.col(target).cast("double")).alias("__n"),
+    ).select(
+        "value",
+        F.log(
+            ((F.col("__p") + F.lit(r)) / F.lit(pos + 2 * r))
+            / ((F.col("__n") + F.lit(r)) / F.lit(neg + 2 * r))
+        ).alias(f"{col}_woe"),
+    )
+    out = (
+        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
+        .drop("value")
+        .withColumn(f"{col}_woe", F.coalesce(F.col(f"{col}_woe"), F.lit(0.0)))
+    )
+    return out, enc
+
+
+def james_stein_groupby(
+    df: DataFrame, cat_cols: list[str], num_cols: list[str], k: float = 10.0,
+    prefix: str = "GroupEncoded",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """A8 groupby-JamesStein features (reference databunch.py:363-391,
+    583-608): encode each categorical with each NUMERIC column as pseudo-
+    target, shrunk toward the global mean: (n·mean_g + k·mean)/(n + k)
+    (SURVEY.md §2.4 A8). Column name ``{prefix}_{cat}_{num}``."""
+    out = df
+    fitted: dict[str, DataFrame] = {}
+    gmeans = df.agg(*[F.avg(n).alias(n) for n in num_cols]).first()
+    for c in cat_cols:
+        enc = df.groupBy(F.col(c).alias("value")).agg(
+            *[
+                (
+                    (F.count(n) * F.avg(n) + F.lit(k) * F.lit(float(gmeans[n])))
+                    / (F.count(n) + F.lit(k))
+                ).alias(f"{prefix}_{c}_{n}")
+                for n in num_cols
+            ]
+        )
+        fitted[c] = enc
+        out = (
+            out.join(broadcast(enc), on=out[c].eqNullSafe(enc["value"]), how="left")
+            .drop("value")
+        )
+    return out, fitted
+
+
+def _contrast_matrix(kind: str, k: int) -> list[list[float]]:
+    """Contrast-coding matrices (k levels → k-1 columns), standard
+    definitions as published in the statsmodels/patsy docs. Levels are
+    sorted; row i is the coding of level i."""
+    import numpy as np
+
+    if kind == "sum":
+        m = np.vstack([np.eye(k - 1), -np.ones((1, k - 1))])
+    elif kind == "helmert":
+        m = np.zeros((k, k - 1))
+        for j in range(k - 1):
+            m[: j + 1, j] = -1.0
+            m[j + 1, j] = float(j + 1)
+    elif kind == "backward_difference":
+        m = np.zeros((k, k - 1))
+        for j in range(1, k):  # column j (1-indexed)
+            m[:j, j - 1] = (j - k) / k
+            m[j:, j - 1] = j / k
+    elif kind == "polynomial":
+        # orthonormal polynomial contrasts: QR of the centered Vandermonde
+        grid = np.arange(1, k + 1, dtype=np.float64)
+        v = np.vander(grid, k, increasing=True)
+        q, _ = np.linalg.qr(v)
+        # fix signs so the linear term is increasing (QR sign ambiguity)
+        for j in range(1, k):
+            if q[-1, j] < q[0, j]:
+                q[:, j] = -q[:, j]
+        m = q[:, 1:]
+    else:
+        raise ValueError(kind)
+    return m.tolist()
+
+
+def contrast_encode(
+    df: DataFrame, col: str, kind: str = "helmert",
+    categories: list | None = None,
+) -> tuple[DataFrame, list]:
+    """E4 contrast coders — Sum / Helmert / BackwardDifference /
+    Polynomial (reference registry settings.py:12-22, applied
+    databunch.py:252-284). Category count is ≤ cat_limit=35 by
+    construction, so the k×(k-1) matrix is driver-built and applied as a
+    broadcast join of a k-row mapping table."""
+    if categories is None:
+        categories = sorted(
+            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+    k = len(categories)
+    mat = _contrast_matrix(kind, k)
+    rows = [(categories[i], *mat[i]) for i in range(k)]
+    cols = [f"{col}_{kind}_{j}" for j in range(k - 1)]
+    mapping = df.sparkSession.createDataFrame(rows, ["value"] + cols)
+    out = (
+        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
+        .drop("value")
+    )
+    return out, categories
+
+
+def basen_encode(
+    df: DataFrame, col: str, base: int = 2, categories: list | None = None
+) -> tuple[DataFrame, list]:
+    """E4 BaseN encoder (reference registry settings.py:12-22): ordinal
+    code of the sorted category → base-N digit columns. digits =
+    ceil(log_base(k+1)); unseen/null → code 0 (all-zero digits)."""
+    import math
+
+    if categories is None:
+        categories = sorted(
+            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+    k = len(categories)
+    n_digits = max(1, math.ceil(math.log(k + 1, base)))
+    rows = []
+    for i, c in enumerate(categories):
+        code = i + 1  # 0 reserved for unseen/null
+        digits = []
+        for d in range(n_digits):
+            digits.append(code % base)
+            code //= base
+        rows.append((c, *reversed(digits)))
+    cols = [f"{col}_base{base}_{d}" for d in range(n_digits)]
+    mapping = df.sparkSession.createDataFrame(rows, ["value"] + cols)
+    out = (
+        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
+        .drop("value")
+        .withColumns({c: F.coalesce(F.col(c), F.lit(0)) for c in cols})
+    )
+    return out, categories
+
+
 def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
                    ) -> tuple[DataFrame, list]:
     """E4 OneHot: one indicator column per category. Category list is the

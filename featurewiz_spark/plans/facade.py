@@ -25,10 +25,20 @@ from featurewiz_spark.functions.interactions import categorical_crosses
 from featurewiz_spark.functions.transforms import drop_zero_variance
 from featurewiz_spark.operators.encoders import (
     add_missing_flags,
+    apply_frequency_encoding,
     apply_label_encoding,
+    basen_encode,
     clean_nans,
+    contrast_encode,
+    frequency_encode,
+    hashing_encode,
+    james_stein_groupby,
     label_encode,
+    one_hot_encode,
+    target_encode,
+    woe_encode,
 )
+from pyspark.sql.functions import broadcast
 from featurewiz_spark.operators.groupby import (
     apply_fitted_aggregates,
     groupby_aggregate,
@@ -42,7 +52,11 @@ from featurewiz_spark.selection.sulov import sulov_select
 @dataclass
 class FeatureWizSpark:
     corr_limit: float = 0.90  # class-API default (featurewiz.py:2982)
-    feature_engg: list[str] = field(default_factory=list)  # {'groupby','interactions'}
+    feature_engg: list[str] = field(default_factory=list)  # {'groupby','interactions','target'}
+    # reference category_encoders param (databunch.py:252-327): names from
+    # {'onehot','hashing','frequency','woe','helmert','sum',
+    #  'backward_difference','polynomial','basen','james_stein'}
+    category_encoders: list[str] = field(default_factory=list)
     skip_sulov: bool = False
     skip_ranking: bool = False
     sulov_mode: str = "pairwise"
@@ -55,6 +69,7 @@ class FeatureWizSpark:
     _cat_vars: list[str] = field(default_factory=list)
     _num_vars: list[str] = field(default_factory=list)
     _label_maps: dict = field(default_factory=dict)
+    _cat_enc_state: dict = field(default_factory=dict)  # (encoder, col) → fitted table
     _fitted_aggs: dict = field(default_factory=dict)
     _nan_fills: dict = field(default_factory=dict)
     _dropped_zero_var: list[str] = field(default_factory=list)
@@ -96,6 +111,10 @@ class FeatureWizSpark:
             ]
         else:
             cross_cols = []
+        # optional encoder suite (reference databunch.py:252-327): every
+        # encoder fits a small mapping table on train; transform replays
+        # it with a broadcast join (unseen → neutral default)
+        df = self._apply_cat_encoders(df, fit)
         # label-encode categoricals (E7 sweep)
         for c in self._cat_vars + cross_cols:
             if fit:
@@ -104,6 +123,70 @@ class FeatureWizSpark:
             else:
                 df = apply_label_encoding(df, c, self._label_maps[c])
             df = df.drop(c)
+        return df
+
+    def _replay_mapping(self, df: DataFrame, col: str, tbl: DataFrame,
+                        fill: float | None) -> DataFrame:
+        gen = [f.name for f in tbl.schema.fields if f.name != "value"]
+        df = df.join(broadcast(tbl), on=df[col].eqNullSafe(tbl["value"]),
+                     how="left").drop("value")
+        if fill is not None:
+            df = df.withColumns(
+                {g: F.coalesce(F.col(g), F.lit(fill)) for g in gen}
+            )
+        return df
+
+    def _apply_cat_encoders(self, df: DataFrame, fit: bool) -> DataFrame:
+        for enc in self.category_encoders:
+            for c in self._cat_vars:
+                key = (enc, c)
+                if enc == "hashing":  # stateless
+                    df = hashing_encode(df, c)
+                elif enc == "onehot":
+                    if fit:
+                        df, cats = one_hot_encode(df, c)
+                        self._cat_enc_state[key] = cats
+                    else:
+                        df, _ = one_hot_encode(df, c, self._cat_enc_state[key])
+                elif enc in ("helmert", "sum", "backward_difference", "polynomial"):
+                    if fit:
+                        df, cats = contrast_encode(df, c, kind=enc)
+                        self._cat_enc_state[key] = cats
+                    else:
+                        df, _ = contrast_encode(df, c, kind=enc,
+                                                categories=self._cat_enc_state[key])
+                elif enc == "basen":
+                    if fit:
+                        df, cats = basen_encode(df, c)
+                        self._cat_enc_state[key] = cats
+                    else:
+                        df, _ = basen_encode(df, c, categories=self._cat_enc_state[key])
+                elif enc == "frequency":
+                    if fit:
+                        df, tbl = frequency_encode(df, c)
+                        self._cat_enc_state[key] = tbl
+                    else:
+                        df = apply_frequency_encoding(df, c, self._cat_enc_state[key])
+                elif enc == "woe":
+                    if fit:
+                        df, tbl = woe_encode(df, c, self._target)
+                        self._cat_enc_state[key] = tbl
+                    else:
+                        df = self._replay_mapping(df, c, self._cat_enc_state[key], 0.0)
+                elif enc == "target":
+                    if fit:
+                        df, tbl = target_encode(df, c, self._target)
+                        self._cat_enc_state[key] = tbl
+                    else:
+                        df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
+                elif enc == "james_stein":
+                    if fit:
+                        df, tbls = james_stein_groupby(df, [c], self._num_vars)
+                        self._cat_enc_state[key] = tbls[c]
+                    else:
+                        df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
+                else:
+                    raise ValueError(f"unknown category encoder: {enc}")
         return df
 
     def fit_transform(self, df: DataFrame, target: str) -> DataFrame:

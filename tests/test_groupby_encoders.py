@@ -208,3 +208,131 @@ def test_tree_bin_edges_reduce_variance(spark):
     edges = tree_bin_edges(df, "x", "y", max_depth=2)
     assert any(abs(e - 3) < 0.5 for e in edges)
     assert any(abs(e - 7) < 0.5 for e in edges)
+
+
+def test_woe_encode_vs_pandas(spark, mixed_pdf):
+    """WOE (category_encoders regularized form): ln of regularized odds
+    ratio per category (SURVEY.md §2.10 E5 / settings.py:24-31)."""
+    from featurewiz_spark.operators.encoders import woe_encode
+
+    pdf = mixed_pdf.assign(yb=(mixed_pdf["y"] > 100).astype(float))
+    df = spark.createDataFrame(pdf)
+    out, _ = woe_encode(df, "cat", "yb", regularization=1.0)
+    got = out.toPandas().sort_values("id").reset_index(drop=True)
+    pos, neg = pdf["yb"].sum(), (1 - pdf["yb"]).sum()
+    g = pdf.groupby("cat")["yb"]
+    woe = np.log(((g.sum() + 1.0) / (pos + 2.0)) / ((g.count() - g.sum() + 1.0) / (neg + 2.0)))
+    exp = pdf["cat"].map(woe)
+    assert np.allclose(got["cat_woe"], exp.sort_index())
+
+
+def test_james_stein_groupby_shrinks_toward_global(spark, mixed_pdf):
+    from featurewiz_spark.operators.encoders import james_stein_groupby
+
+    df = spark.createDataFrame(mixed_pdf)
+    out, _ = james_stein_groupby(df, ["cat"], ["num"], k=10.0)
+    got = out.toPandas().sort_values("id").reset_index(drop=True)
+    gm = mixed_pdf["num"].mean()
+    g = mixed_pdf.groupby("cat")["num"]
+    enc = (g.count() * g.mean() + 10.0 * gm) / (g.count() + 10.0)
+    exp = mixed_pdf["cat"].map(enc)
+    assert np.allclose(got["GroupEncoded_cat_num"], exp.sort_index())
+    # shrinkage: rare category 'd' pulled harder toward the global mean
+    raw_d = abs(g.mean()["d"] - gm)
+    enc_d = abs(enc["d"] - gm)
+    assert enc_d < raw_d + 1e-12
+
+
+def test_contrast_matrices_properties():
+    """Contrast codings: columns sum to zero over levels (all kinds);
+    polynomial columns are orthonormal."""
+    from featurewiz_spark.operators.encoders import _contrast_matrix
+
+    for kind in ("sum", "helmert", "backward_difference", "polynomial"):
+        m = np.array(_contrast_matrix(kind, 5))
+        assert m.shape == (5, 4)
+        assert np.allclose(m.sum(axis=0), 0, atol=1e-9), kind
+    p = np.array(_contrast_matrix("polynomial", 5))
+    assert np.allclose(p.T @ p, np.eye(4), atol=1e-9)
+
+
+def test_contrast_encode_helmert_values(spark, mixed_pdf):
+    from featurewiz_spark.operators.encoders import contrast_encode
+
+    df = spark.createDataFrame(mixed_pdf)
+    out, cats = contrast_encode(df, "cat", kind="helmert")
+    assert cats == ["a", "b", "c", "d"]
+    row_b = out.filter(F.col("cat") == "b").select("cat_helmert_0", "cat_helmert_1").first()
+    assert row_b[0] == 1.0 and row_b[1] == -1.0
+
+
+def test_basen_encode_digits(spark, mixed_pdf):
+    from featurewiz_spark.operators.encoders import basen_encode
+
+    df = spark.createDataFrame(mixed_pdf)
+    out, cats = basen_encode(df, "cat", base=2)
+    # 4 cats → codes 1..4 → 3 digits; 'c' = code 3 = 011
+    row_c = out.filter(F.col("cat") == "c").select(
+        "cat_base2_0", "cat_base2_1", "cat_base2_2"
+    ).first()
+    assert (row_c[0], row_c[1], row_c[2]) == (0, 1, 1)
+
+
+def test_split_n_ways_sequential_and_stratified(spark, mixed_pdf):
+    from featurewiz_spark.operators.sampling import split_n_ways
+
+    pdf = mixed_pdf.assign(ts=np.arange(len(mixed_pdf)))
+    df = spark.createDataFrame(pdf)
+    a, b, c = split_n_ways(df, [0.6, 0.2, 0.2], how="sequential", time_col="ts")
+    na, nb, nc = a.count(), b.count(), c.count()
+    assert na + nb + nc == len(pdf)
+    assert abs(na - 0.6 * len(pdf)) <= 2
+    # sequential: max ts of slice a < min ts of slice b
+    assert a.agg(F.max("ts")).first()[0] < b.agg(F.min("ts")).first()[0]
+
+    s1, s2 = split_n_ways(df, [0.8, 0.2], how="stratified", stratify_col="cat")
+    assert s1.count() + s2.count() == len(pdf)
+    # every class keeps ~80/20 (exact per-class percent_rank slicing)
+    frac = (
+        s1.groupBy("cat").count().toPandas().set_index("cat")["count"]
+        / pdf.groupby("cat").size()
+    )
+    assert ((frac - 0.8).abs() < 0.05).all()
+
+
+def test_stratified_sample_drops_tiny_classes(spark):
+    from featurewiz_spark.operators.sampling import stratified_sample
+
+    pdf = pd.DataFrame(
+        {"cls": ["a"] * 500 + ["b"] * 500 + ["tiny"] * 2, "v": range(1002)}
+    )
+    df = spark.createDataFrame(pdf)
+    samp = stratified_sample(df, "cls", n_rows=200, seed=42)
+    got = samp.groupBy("cls").count().toPandas().set_index("cls")["count"]
+    assert "tiny" not in got.index
+    assert 100 < got.sum() < 320  # ~200 in expectation
+
+
+def test_uniform_and_kmeans_bins(spark):
+    from featurewiz_spark.operators.binning import (
+        apply_bin_edges,
+        kmeans_bin_edges,
+        uniform_bin,
+    )
+
+    rng = np.random.default_rng(7)
+    # three well-separated clusters → kmeans edges fall in the gaps
+    x = np.concatenate([rng.normal(0, 0.3, 300), rng.normal(5, 0.3, 300),
+                        rng.normal(10, 0.3, 300)])
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "i": range(len(x))}))
+    out, edges = uniform_bin(df, "x", bins=4)
+    assert len(edges) == 3
+    w = (x.max() - x.min()) / 4
+    assert np.allclose(edges, [x.min() + w, x.min() + 2 * w, x.min() + 3 * w])
+
+    kedges = kmeans_bin_edges(df, "x", bins=3)
+    assert len(kedges) == 2
+    assert 1.0 < kedges[0] < 4.0 and 6.0 < kedges[1] < 9.0
+    binned = apply_bin_edges(df, "x", kedges, "kb")
+    counts = binned.groupBy("kb").count().toPandas().set_index("kb")["count"]
+    assert (counts == 300).all()

@@ -156,3 +156,31 @@ def test_facade_fit_transform_and_replay(spark, corr_pdf):
     replayed = fw.transform(test)
     assert [c for c in replayed.columns if c != "y"] == fw.features
     assert replayed.count() > 0
+
+
+def test_facade_category_encoder_suite(spark, corr_pdf):
+    """E4/E5 through the facade: every named encoder fits on train and
+    replays on test with no re-fit (reference databunch.py:252-327)."""
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    pdf = corr_pdf.copy()
+    pdf["cat"] = np.random.default_rng(9).choice(["a", "b", "c"], len(pdf))
+    df = spark.createDataFrame(pdf)
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    fw = FeatureWizSpark(
+        corr_limit=0.7,
+        category_encoders=["frequency", "woe", "target", "helmert", "basen",
+                           "hashing", "james_stein"],
+        skip_sulov=True, skip_ranking=True,
+    )
+    # binary target for woe
+    train = train.withColumn("y", (F.col("y") > 0).cast("double"))
+    test = test.withColumn("y", (F.col("y") > 0).cast("double"))
+    out = fw.fit_transform(train, "y")
+    gen = [c for c in out.columns if c.startswith("cat_") or c.startswith("GroupEncoded_")]
+    assert any("freq" in c for c in out.columns)
+    assert any("woe" in c for c in out.columns)
+    assert any("helmert" in c for c in out.columns)
+    replayed = fw.transform(test)
+    assert [c for c in replayed.columns if c != "y"] == fw.features
+    assert replayed.count() > 0
