@@ -684,6 +684,24 @@ def _q54_kmeans_bin(spark, sf):
     return d.groupBy("price_kbin").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q55_bucketed_asof(spark, sf):
+    """Skew-bounded bucketed as-of join — must produce IDENTICAL results
+    to q04's single-window as-of (same DuckDB oracle)."""
+    from featurewiz_spark.operators.asof import bucketed_asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("pv")
+    )
+    r = bucketed_asof_join(
+        ev, purchases, on="user_id", left_ts="ts", right_ts="snap_ts",
+        tolerance="7 days", strict=True, bucket="3 days",
+    )
+    return r.select(
+        "event_id", "user_id", "ts", F.round("pv_asof", 6).alias("purchase_value_asof")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -740,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_sequential_split": _q52_sequential_split,
         "q53_stratified_sample": _q53_stratified_sample,
         "q54_kmeans_bin": _q54_kmeans_bin,
+        "q55_bucketed_asof": _q55_bucketed_asof,
     }
 
 
@@ -1170,6 +1189,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN l_extendedprice <= lo + w*7 THEN 6
                         ELSE 7 END AS price_bin
             FROM lineitem, s
+        """,
+        "q55_bucketed_asof": """
+            WITH u AS (
+                SELECT user_id, ts, event_id, 0 AS side,
+                       NULL::DOUBLE AS pv, NULL::TIMESTAMP AS pts
+                FROM events
+                UNION ALL
+                SELECT user_id, ts, NULL, 1, value, ts
+                FROM events WHERE event_type = 'purchase'
+            ), m AS (
+                SELECT *,
+                  last_value(pv IGNORE NULLS) OVER w AS mpv,
+                  last_value(pts IGNORE NULLS) OVER w AS mpts
+                FROM u
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN mpts >= ts - INTERVAL 7 DAY
+                        THEN round(mpv, 6) END AS purchase_value_asof
+            FROM m WHERE side = 0
         """,
         "q52_sequential_split": """
             WITH r AS (

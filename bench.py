@@ -23,8 +23,10 @@ import subprocess
 import sys
 import time
 
-PAGES_BENCH_ROWS = int(os.environ.get("FW_BENCH_PAGES_ROWS", "2000000"))
-PAGES_PATH = os.environ.get("FW_BENCH_PAGES_PATH", "/tmp/fw_bench_pages.parquet")
+PAGES_BENCH_ROWS = int(os.environ.get("FW_BENCH_PAGES_ROWS", "1000000"))
+PAGES_PATH = os.environ.get(
+    "FW_BENCH_PAGES_PATH", f"/tmp/fw_bench_pages_{PAGES_BENCH_ROWS}.parquet"
+)
 # N vs 4N parallelism levels for the scaling-efficiency criterion.
 # 2→8 rather than 8→32: measured microbenchmarks (BENCH/BASELINE.md) show
 # this sandbox saturates memory bandwidth at ~8-12 Spark threads (raw
@@ -82,13 +84,15 @@ def run_pages_worker(cores: int, path: str) -> None:
     pages = spark.read.parquet(path)
     df = pages_feature_pipeline(pages, extract=True)
     times = []
-    for i in range(4):
+    for i in range(6):
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
-    # run 0 is the JIT/codegen warm-up (untimed); min-of-3 thereafter —
-    # the min is the closest observation to the uncontended steady-state
-    # cost on a noisy-neighbor host
+    # run 0 is the JIT/codegen warm-up (untimed); min-of-5 thereafter —
+    # the host has noisy neighbors with 3-40x timing outliers (measured
+    # 51s..732s for the SAME job), so the min is the only observation
+    # that approximates the uncontended steady-state cost; short runs +
+    # more repeats maximize the chance of sampling a quiet window
     n = pages.count()
     print(json.dumps({"sec": min(times[1:]), "all_times": times, "rows": n,
                       "cores": cores}))
@@ -139,13 +143,15 @@ def write_baseline_md(result: dict) -> None:
         "",
         "## Flagship pages pipeline (north-rule metric)",
         "",
-        "| parallelism | rows | sec | feature-vectors/sec |",
-        "|---|---|---|---|",
+        "| parallelism | rows | sec (min) | feature-vectors/sec | all runs (warm-up first) |",
+        "|---|---|---|---|---|",
     ]
     for tag, r in ((f"local[{SCALE_N}]", rn), (f"local[{SCALE_4N}]", r4n)):
         if r:
+            raw = ", ".join(f"{t:.1f}" for t in r.get("all_times", []))
             lines.append(
                 f"| {tag} | {r['rows']} | {r['sec']:.2f} | {r['rows']/r['sec']:.0f} |"
+                f" raw: {raw} |"
             )
     if "scaling_efficiency_n_to_4n" in s:
         lines += [

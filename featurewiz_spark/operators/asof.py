@@ -114,6 +114,105 @@ def asof_join(
     return res.drop("__ts", "__side", "__rts", "__mts", *value_cols)
 
 
+def bucketed_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+    bucket: str = "30 days",
+) -> DataFrame:
+    """Skew-bounded as-of join: identical semantics to :func:`asof_join`,
+    but no single task ever holds an entity's full history.
+
+    The plain union-window design puts ALL rows of a key in one sorted
+    task — correct, one shuffle, but a hot url (10% of a 10^12-row table)
+    becomes a straggler no AQE can split (windows can't be salted the way
+    joins can). Here the timeline is cut into calendar buckets:
+
+    1. in-bucket as-of on (keys, bucket) — task size is bounded by bucket
+       width, not entity row count;
+    2. per-(key, bucket) summary of the right side — ONE row per bucket
+       (``max(struct(ts, values))``), so the carry table is tiny;
+    3. cross-bucket carry: window over the bucket spine (union of left
+       and right buckets) per key — rows = #buckets, not #events;
+    4. rows unmatched within their bucket take the carried
+       strictly-earlier-bucket value (for backward; mirrored forward).
+
+    Strictness is preserved: a right row in an earlier bucket is strictly
+    earlier than any left row in this bucket by construction. Costs 3
+    extra (small) shuffles vs asof_join — use when entity skew is real;
+    AQE handles the rest.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys + [right_ts]]
+    sec = _interval_seconds(bucket)
+    l2 = left.withColumn("__bkt", F.floor(F.unix_timestamp(F.col(left_ts)) / sec))
+    r2 = right.withColumn("__bkt", F.floor(F.unix_timestamp(F.col(right_ts)) / sec))
+
+    ib = asof_join(
+        l2, r2, keys + ["__bkt"], left_ts, right_ts, value_cols,
+        direction=direction, tolerance=None, strict=strict, suffix=suffix,
+    )
+
+    backward = direction == "backward"
+    s_struct = F.struct(F.col(right_ts), *[F.col(c) for c in value_cols])
+    summary = r2.groupBy(*keys, "__bkt").agg(
+        (F.max(s_struct) if backward else F.min(s_struct)).alias("__s")
+    )
+    spine = (
+        l2.select(*keys, "__bkt").distinct()
+        .unionByName(summary.select(*keys, "__bkt"))
+        .distinct()
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__bkt").asc() if backward else F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(summary, on=keys + ["__bkt"], how="left")
+        .withColumn("__carry", F.last("__s", ignorenulls=True).over(w))
+        .select(*keys, "__bkt", "__carry")
+    )
+    out = ib.join(carry, on=keys + ["__bkt"], how="left")
+    mts_col = f"{right_ts}{suffix}"
+    out = out.withColumn(
+        mts_col,
+        F.coalesce(F.col(mts_col), F.col("__carry").getField(right_ts)),
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.coalesce(F.col(f"{c}{suffix}"), F.col("__carry").getField(c)),
+        )
+    if tolerance is not None:
+        if backward:
+            within = F.col(mts_col) >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            within = F.col(mts_col) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
+        for c in value_cols:
+            out = out.withColumn(f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}")))
+        out = out.withColumn(mts_col, F.when(within, F.col(mts_col)))
+    return out.drop("__bkt", "__carry")
+
+
+def _interval_seconds(interval: str) -> int:
+    n, unit = interval.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }[unit.lower()]
+    return int(n) * mult
+
+
 def lag_join(
     df: DataFrame,
     keys: list[str],

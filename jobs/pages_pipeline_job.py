@@ -1,0 +1,74 @@
+"""spark-submit entry point for the flagship pages feature pipeline.
+
+North-rule packaging contract: runs on a multi-executor cluster via
+
+    bash scripts/package.sh     # builds dist/featurewiz_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/featurewiz_spark.zip \
+        jobs/pages_pipeline_job.py \
+        --input  s3://…/pages  --output s3://…/features \
+        [--snapshots s3://…/snaps --tolerance '7 days'] \
+        [--resume-dir s3://…/checkpoints --buckets 256]
+
+With --resume-dir the job is kill/restart-safe: output is written
+bucket-by-bucket with per-bucket lineage manifests (row count +
+order-insensitive checksum); a rerun recomputes only missing buckets
+(featurewiz_spark.plans.lineage). Without it, a plain overwrite write.
+
+The executor-side JVM flags that keep wide feature projections JIT-
+compiled are session configs here, but on a real cluster pass them to
+spark-submit too (they must reach executor JVMs at launch):
+    --conf spark.executor.extraJavaOptions='-XX:-DontCompileHugeMethods'
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet/iceberg path")
+    ap.add_argument("--output", required=True, help="feature output path")
+    ap.add_argument("--snapshots", default=None, help="optional snapshot table for as-of join")
+    ap.add_argument("--gap", default="30 minutes", help="sessionization gap")
+    ap.add_argument("--tolerance", default="7 days", help="as-of tolerance")
+    ap.add_argument("--no-extract", action="store_true", help="skip html→text extraction")
+    ap.add_argument("--resume-dir", default=None, help="lineage/checkpoint dir for resumable runs")
+    ap.add_argument("--buckets", type=int, default=256, help="lineage bucket count")
+    args = ap.parse_args()
+
+    # imports AFTER arg parsing so --help works without the zip
+    from pyspark.sql import SparkSession
+
+    from featurewiz_spark.plans.lineage import run_resumable
+    from featurewiz_spark.plans.pipeline import pages_feature_pipeline
+
+    spark = SparkSession.builder.appName("pages_feature_pipeline").getOrCreate()
+    pages = spark.read.parquet(args.input)
+    snapshots = spark.read.parquet(args.snapshots) if args.snapshots else None
+
+    if args.resume_dir:
+        run_resumable(
+            spark,
+            pages,
+            lambda df: pages_feature_pipeline(
+                df, snapshots=snapshots, gap=args.gap,
+                tolerance=args.tolerance, extract=not args.no_extract,
+            ),
+            args.resume_dir,
+            stage="pages_features",
+            keys=["url"],
+            n_buckets=args.buckets,
+        ).write.mode("overwrite").parquet(args.output)
+    else:
+        out = pages_feature_pipeline(
+            pages, snapshots=snapshots, gap=args.gap,
+            tolerance=args.tolerance, extract=not args.no_extract,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,38 @@ def test_latest_per_entity_row_consistent(spark):
     df = spark.createDataFrame(rows, "url string, ts timestamp, id int, v double")
     r = latest_per_entity(df, "url", "ts", ["id", "v"]).first()
     assert (r["id"], r["v"]) == (3, 2.0)  # consistent row, not per-col max
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, "7 days"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_bucketed_asof_equals_plain(spark, frames, direction, tolerance, strict):
+    """Skew-bounded bucketed as-of must be semantically IDENTICAL to the
+    single-window as-of — including across-bucket carries (bucket width
+    10 days ≪ 90-day span forces carries) and a hot entity (u0 gets 10%
+    of all rows concentrated)."""
+    from featurewiz_spark.operators.asof import bucketed_asof_join
+
+    left, right = frames
+    # skew: duplicate u0's history 3x with jittered timestamps
+    hot = left[left.url == "u0"].copy()
+    extra = pd.concat(
+        [hot.assign(warc_ts=hot.warc_ts + pd.Timedelta(seconds=i + 1)) for i in range(3)]
+    )
+    left = pd.concat([left, extra], ignore_index=True)
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    plain = asof_join(
+        sl, sr, "url", "warc_ts", "snap_ts",
+        direction=direction, tolerance=tolerance, strict=strict,
+    ).toPandas().sort_values(["url", "warc_ts", "x"]).reset_index(drop=True)
+    bucketed = bucketed_asof_join(
+        sl, sr, "url", "warc_ts", "snap_ts",
+        direction=direction, tolerance=tolerance, strict=strict,
+        bucket="10 days",
+    ).toPandas().sort_values(["url", "warc_ts", "x"]).reset_index(drop=True)
+    assert list(plain.columns) == [c for c in bucketed.columns]
+    pd.testing.assert_frame_equal(
+        plain[sorted(plain.columns)], bucketed[sorted(bucketed.columns)],
+        check_like=True,
+    )

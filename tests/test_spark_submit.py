@@ -1,0 +1,75 @@
+"""spark-submit --py-files packaging smoke test (north-rule contract:
+the pipeline must run as a packaged cluster job, not only in-process)."""
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str | None:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    try:
+        import pyspark
+
+        cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+        if os.path.exists(cand):
+            return cand
+    except ImportError:
+        pass
+    return None
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_job(spark):
+    # stop the shared fixture session: two local Spark JVMs fight over
+    # driver ports/temp dirs and 32+2 threads oversubscribe the box
+    tmp = tempfile.mkdtemp(prefix="fw_submit_")
+    try:
+        rng = np.random.default_rng(4)
+        n = 200
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://site{i % 7}.test/p" for i in range(n)],
+                "warc_ts": pd.Timestamp("2024-03-01")
+                + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+                "html": [f"<html><title>t{i}</title><p>body {i}</p></html>".encode() for i in range(n)],
+                "text": [f"body {i}" for i in range(n)],
+                "lang": rng.choice(["en", "de", None], n).tolist(),
+            }
+        )
+        inp = os.path.join(tmp, "pages")
+        outp = os.path.join(tmp, "features")
+        spark.createDataFrame(pdf).write.parquet(inp)
+
+        subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh")], check=True)
+        env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+                   PYSPARK_DRIVER_PYTHON=sys.executable)
+        r = subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[2]",
+                "--py-files", os.path.join(REPO, "dist", "featurewiz_spark.zip"),
+                "--conf", "spark.ui.enabled=false",
+                os.path.join(REPO, "jobs", "pages_pipeline_job.py"),
+                "--input", inp,
+                "--output", outp,
+            ],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        got = spark.read.parquet(outp)
+        assert got.count() == n
+        cols = set(got.columns)
+        assert {"extracted_text", "session_id", "n_chars"} <= cols
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
