@@ -702,6 +702,40 @@ def _q55_bucketed_asof(spark, sf):
     )
 
 
+def _q56_ivf_ann(spark, sf):
+    """IVF (k-means cell) ANN top-1 — data-adaptive alternative to LSH
+    bucketing for clustered embedding spaces. No SQL oracle (iterative
+    k-means quantizer); recall vs brute force is pytest-verified."""
+    from featurewiz_spark.operators.similarity import ivf_topk
+
+    emb = _tp(spark, sf, "embeddings")
+    d = ivf_topk(emb, "vec_id", "embedding", k=1, n_cells=8, sample_rows=4000)
+    return d.select("vec_id", "nn_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
+def _q57_cosine_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (training-data dedup):
+    LSH candidate buckets + within-bucket exact cosine. The sf embeddings
+    are pure random (max pairwise cosine ~0.51), so the query plants
+    deterministic duplicates — a positively-scaled copy of vec_id<25 —
+    whose direction (hence LSH sign pattern) is identical to the source,
+    giving recall 1.0 by construction; the DuckDB oracle brute-forces
+    all pairs with list_cosine_similarity. Margin between planted pairs
+    (cos~1.0) and background (<0.52) makes the threshold robust to
+    engine float differences."""
+    from featurewiz_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _tp(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    d = cosine_near_dup_pairs(aug, "vec_id", "embedding",
+                              threshold=0.9, n_planes=6)
+    return d.select("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -759,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_stratified_sample": _q53_stratified_sample,
         "q54_kmeans_bin": _q54_kmeans_bin,
         "q55_bucketed_asof": _q55_bucketed_asof,
+        "q56_ivf_ann": _q56_ivf_ann,
+        "q57_cosine_near_dup": _q57_cosine_near_dup,
     }
 
 
@@ -1219,6 +1255,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CASE WHEN pr <= 0.6 THEN 0 WHEN pr <= 0.8 THEN 1 ELSE 2 END AS part
             FROM r
+        """,
+        "q57_cosine_near_dup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> x * 1.001)
+                FROM embeddings WHERE vec_id < 25
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
         """,
     }
 

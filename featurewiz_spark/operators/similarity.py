@@ -136,6 +136,176 @@ def lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 10000,
+    max_iter: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids fit driver-side on a
+    deterministic hash-ordered sample (normalized vectors, spherical
+    k-means via Lloyd on cosine). At 100TB the sample pass is one
+    orderBy(limit) job; the centroid table is tiny and broadcast."""
+    pdf = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=n_cells, replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        newC = np.vstack(
+            [
+                Xn[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                for j in range(n_cells)
+            ]
+        )
+        newC = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+        if np.allclose(newC, C, atol=1e-9):
+            break
+        C = newC
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) via one
+    mapInPandas matmul per Arrow batch — the broadcast-centroid analog of
+    lsh_bucket, but data-adaptive."""
+    spark = df.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids)
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.IntegerType())])
+    cols = df.columns
+
+    def assign(batches):
+        C = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_cells: int = 16,
+    sample_rows: int = 10000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means cells (coarse quantizer) + within-cell brute
+    force. Same output schema as brute_force_topk/ann_topk_lsh; recall
+    < 1.0 for queries whose true neighbor lies across a cell boundary
+    (raise n_probe by unioning neighboring cells if needed — v1 probes
+    the home cell only). One shuffle on cell id; cell sizes are balanced
+    by k-means rather than hash luck, which is the IVF advantage over
+    LSH for clustered embedding spaces."""
+    C = ivf_centroids(df, vec_col, n_cells, sample_rows, seed=seed)
+    assigned = ivf_assign(df, C, vec_col, "ivf_cell")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("nn_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=[f.name for f in schema]).astype(
+                {id_col: "int64", "nn_id": "int64", "rank": "int32", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ Mn.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        psims = np.take_along_axis(sims, part, axis=1)
+        pids = ids[part]
+        ordr = np.lexsort((pids, -psims), axis=1)
+        psims = np.take_along_axis(psims, ordr, axis=1)
+        pids = np.take_along_axis(pids, ordr, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, kk),
+                "nn_id": pids.ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)),
+                "cos_sim": psims.ravel(),
+            }
+        )
+
+    return (
+        assigned.select("ivf_cell", id_col, vec_col)
+        .groupBy("ivf_cell")
+        .applyInPandas(per_cell, schema=schema)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup):
+    LSH-bucket candidates, within-bucket cosine, keep pairs ≥ threshold.
+    Returns (a, b, cos_sim) with a < b. Recall is governed by n_planes
+    (near-identical vectors collide in all buckets with high prob.)."""
+    bucketed = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    thr = threshold
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["a", "b", "cos_sim"]).astype(
+                {"a": "int64", "b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = Mn @ Mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= thr
+        aa, bb = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
+        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": sims[iu][mask]})
+
+    return (
+        bucketed.select("lsh_bucket", id_col, vec_col)
+        .groupBy("lsh_bucket")
+        .applyInPandas(per_bucket, schema=schema)
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

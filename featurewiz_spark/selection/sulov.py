@@ -69,14 +69,89 @@ def _gram_partials(df: DataFrame, cols: list[str]) -> tuple[np.ndarray, np.ndarr
     return s, g, n
 
 
+def _approx_rank_transform(
+    df: DataFrame, cols: list[str], n_bins: int = 256, rel_err: float = 1e-3
+) -> DataFrame:
+    """Approximate ECDF mid-rank transform — the scale path for Spearman.
+
+    Exact Spearman needs a global rank per column (a single-partition
+    sort per column — unusable at 100TB). Pearson is invariant to affine
+    maps of the ranks, so rank/n can be replaced by the ECDF midpoint of
+    the value's quantile bin: ONE approxQuantile pass builds a B-bin
+    ECDF per column, then Bucketizer (JVM-side binary search) plus a
+    literal midrank lookup rewrites every column in a single shuffle-free
+    projection. A value tied across >=2 quantile probs collapses to one
+    bin whose midpoint IS its tie-averaged rank; per-value error is
+    otherwise ~1/(2B), immaterial for |corr|-threshold pruning at B=256.
+    Nulls stay null (impute first, as the facade does)."""
+    from pyspark.ml.feature import Bucketizer
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = dict(zip(cols, df.stat.approxQuantile(cols, probs, rel_err)))
+    work, splits_arr, mids_arr, const_cols = [], [], [], []
+    for c in cols:
+        uniq, first_idx, last_idx = [], [], []
+        for i, v in enumerate(edges[c]):
+            if not uniq or v > uniq[-1]:
+                uniq.append(v)
+                first_idx.append(i)
+                last_idx.append(i)
+            else:
+                last_idx[-1] = i
+        if not uniq:
+            const_cols.append(c)  # constant column: rank is constant
+            continue
+        # F(u_j^-): below the tie block if u_j is tied (atom >= 1/B),
+        # else ~F(u_j) itself (atom < 2/B either way)
+        bounds = [
+            (probs[fi - 1] if fi > 0 else 0.0) if li > fi else probs[fi]
+            for fi, li in zip(first_idx, last_idx)
+        ] + [1.0]
+        mids = [bounds[0] / 2.0] + [
+            (bounds[j] + bounds[j + 1]) / 2.0 for j in range(len(uniq))
+        ]
+        work.append(c)
+        splits_arr.append([float("-inf")] + [float(v) for v in uniq] + [float("inf")])
+        mids_arr.append(mids)
+    out = df
+    for c in const_cols:
+        out = out.withColumn(c, F.lit(0.5))
+    if not work:
+        return out
+    tmp = [f"__bkt_{c}" for c in work]
+    for c in work:
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNull(), F.lit(float("nan"))).otherwise(
+                F.col(c).cast("double")
+            ),
+        )
+    bk = Bucketizer(
+        splitsArray=splits_arr, inputCols=work, outputCols=tmp, handleInvalid="keep"
+    )
+    out = bk.transform(out)
+    for c, t, mids in zip(work, tmp, mids_arr):
+        lut = F.array(*[F.lit(float(x)) for x in mids])
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(t) < len(mids), F.element_at(lut, F.col(t).cast("int") + 1)
+            ),
+        ).drop(t)
+    return out
+
+
 def correlation_matrix(
     df: DataFrame, cols: list[str], method: str = "pearson"
 ) -> pd.DataFrame:
     """k×k |Pearson| (or Spearman) correlation via one distributed pass.
 
-    Spearman = Pearson on per-column average ranks; the rank transform is
-    one window per column (shuffle-heavy — prefer pearson at scale, as
-    does the reference default, sulov_method.py:86).
+    Spearman = Pearson on per-column average ranks; the exact rank
+    transform is one GLOBAL window per column (single-partition sort —
+    small data only). method="spearman_approx" replaces exact ranks with
+    quantile-ECDF midranks (one approxQuantile pass + a shuffle-free
+    Bucketizer projection) and is the 100TB path; pearson remains the
+    reference default (sulov_method.py:86).
     """
     if method == "spearman":
         from pyspark.sql import Window
@@ -89,6 +164,8 @@ def correlation_matrix(
                 c, (F.rank().over(w) + (F.count(F.lit(1)).over(tie_w) - 1) / 2.0)
             )
         df = ranked
+    elif method == "spearman_approx":
+        df = _approx_rank_transform(df, cols)
     elif method != "pearson":
         raise ValueError(method)
     s, g, n = _gram_partials(df, cols)

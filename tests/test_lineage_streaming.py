@@ -144,3 +144,119 @@ def test_video_frame_sampling_shape(spark):
     out = sample_video_frames(df, every_n=4).toPandas()
     assert (out["media_id"] == 1).all()
     assert list(out["frame_idx"]) == [0, 4, 8, 12]
+
+
+def _write_stream_file(spark, rows, path):
+    pdf = pd.DataFrame(rows, columns=["user", "ts", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_stream_sessionize_true_streaming(spark, tmp_path):
+    """END-TO-END Structured Streaming: file-source readStream →
+    session_window agg → complete-mode memory sink, equal to the batch
+    run of the same transform on the same rows."""
+    from featurewiz_spark.streaming import stream_sessionize
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        (1, "2024-01-01 10:00", 1.0),
+        (1, "2024-01-01 10:10", 2.0),
+        (1, "2024-01-01 11:30", 3.0),
+        (2, "2024-01-01 09:00", 4.0),
+    ]
+    _write_stream_file(spark, rows[:2], os.path.join(src, "a"))
+    _write_stream_file(spark, rows[2:], os.path.join(src, "b"))
+
+    schema = "user bigint, ts timestamp, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    sess = stream_sessionize(stream, ["user"], "ts", gap="30 minutes",
+                             watermark="2 hours", value="v")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], str(r["session_start"]), r["n_events"], r["v_sum"])
+        for r in spark.sql("select * from sess_complete").collect()
+    }
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user", "ts", "v"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+    )
+    want = {
+        (r["user"], str(r["session_start"]), r["n_events"], r["v_sum"])
+        for r in stream_sessionize(
+            batch_df, ["user"], "ts", gap="30 minutes", value="v"
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_stream_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving after the watermark passed its window is DROPPED — the
+    closed window emits once, without it. Single-file micro-batches with
+    forced mtime ordering make watermark progression deterministic.
+    NOTE (measured): Spark's late-INPUT filter uses the previous batch's
+    final watermark, one batch behind state eviction — so the late row
+    must arrive >=2 batches after the watermark passed its window to be
+    provably dropped (one batch after, it silently re-enters state)."""
+    import time as _time
+
+    from featurewiz_spark.streaming import stream_windowed_agg
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    batches = [
+        [(1, "2024-01-01 10:01", 1.0), (1, "2024-01-01 10:05", 2.0)],
+        [(1, "2024-01-01 10:40", 8.0)],   # end of batch: watermark → 10:30
+        [(1, "2024-01-01 10:50", 16.0)],  # 10:00-window evicted+emitted here
+        [(1, "2024-01-01 10:02", 99.0),   # late: filter wm 10:40 > window end
+         (1, "2024-01-01 11:20", 32.0)],
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        p = os.path.join(src, f"b{i}")
+        _write_stream_file(spark, b, p)
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("user bigint, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    agg = stream_windowed_agg(stream, ["user"], "ts", "v",
+                              window="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wm_append").collect()
+    emitted = [
+        (r["n"], r["v_sum"])
+        for r in rows
+        if str(r["window_start"]) == "2024-01-01 10:00:00"
+    ]
+    # the 10:00 window closed ONCE with 2 events; the late 99.0 never
+    # joined it (and never re-opened it as a duplicate emission)
+    assert emitted == [(2, 3.0)]
+    # the unclosed trailing 11:20 window is still in state, not emitted
+    assert all(str(r["window_start"]) != "2024-01-01 11:20:00" for r in rows)

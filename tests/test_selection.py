@@ -184,3 +184,17 @@ def test_facade_category_encoder_suite(spark, corr_pdf):
     replayed = fw.transform(test)
     assert [c for c in replayed.columns if c != "y"] == fw.features
     assert replayed.count() > 0
+
+
+def test_spearman_approx_matches_exact(spark, corr_pdf):
+    """Quantile-ECDF midrank Spearman (shuffle-free scale path) tracks
+    exact windowed-rank Spearman within ~1e-2, including under ties."""
+    from featurewiz_spark.selection.sulov import correlation_matrix
+
+    pdf = corr_pdf.copy()
+    pdf["xt"] = np.round(pdf["x1"], 0)  # heavy ties (~10 distinct values)
+    df = spark.createDataFrame(pdf)
+    cols = ["x1", "x2", "x3", "xt", "noise"]
+    exact = correlation_matrix(df, cols, method="spearman")
+    approx = correlation_matrix(df, cols, method="spearman_approx")
+    assert np.allclose(approx.to_numpy(), exact.to_numpy(), atol=0.015)

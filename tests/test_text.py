@@ -150,3 +150,36 @@ def test_lsh_ann_recall(spark):
     approx = {r["vec_id"]: r["nn_id"] for r in ann_topk_lsh(df, k=1, n_planes=6).collect()}
     recall = sum(approx.get(i) == exact[i] for i in exact) / len(exact)
     assert recall > 0.7
+
+
+def test_ivf_ann_recall(spark):
+    from featurewiz_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(5, 16)) * 5
+    vecs = np.vstack([c + rng.normal(size=(20, 16)) * 0.1 for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r["vec_id"]: r["nn_id"] for r in brute_force_topk(df, k=1).collect()}
+    approx = {
+        r["vec_id"]: r["nn_id"]
+        for r in ivf_topk(df, k=1, n_cells=5, sample_rows=100).collect()
+    }
+    recall = sum(approx.get(i) == exact[i] for i in exact) / len(exact)
+    # k-means cells align with the true clusters → near-perfect recall
+    assert recall > 0.9
+
+
+def test_cosine_near_dup_pairs_finds_planted_dup(spark):
+    from featurewiz_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 12))
+    vecs[25] = vecs[3] + rng.normal(size=12) * 1e-3  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a"], r["b"]) for r in
+             cosine_near_dup_pairs(df, threshold=0.99, n_planes=6).collect()}
+    assert (3, 25) in pairs
+    # random gaussian vectors in 12-d almost never hit cos >= 0.99
+    assert len(pairs) <= 3
