@@ -736,6 +736,28 @@ def _q57_cosine_near_dup(spark, sf):
     return d.select("a", "b")
 
 
+def _q58_label_encode(spark, sf):
+    """E1 first-appearance label encoding with an explicit stable order
+    column (event_id) — fully SQL-expressible, so oracle-checked."""
+    from featurewiz_spark.operators.encoders import label_encode
+
+    ev = _t(spark, sf, "events")
+    out, _mapping = label_encode(ev, "event_type", order_col="event_id")
+    return out.select("event_id", "event_type_code")
+
+
+def _q59_tree_bin(spark, sf):
+    """B3 entropy/tree binning — greedy variance-reduction splits on a
+    deterministic sample; no SQL oracle (recursive algorithm), edges
+    pytest-verified against an exact in-memory tree."""
+    from featurewiz_spark.operators.binning import apply_bin_edges, tree_bin_edges
+
+    li = _t(spark, sf, "lineitem")
+    edges = tree_bin_edges(li, "l_extendedprice", "l_quantity", max_depth=2)
+    d = apply_bin_edges(li, "l_extendedprice", edges, "price_tbin")
+    return d.groupBy("price_tbin").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -795,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_bucketed_asof": _q55_bucketed_asof,
         "q56_ivf_ann": _q56_ivf_ann,
         "q57_cosine_near_dup": _q57_cosine_near_dup,
+        "q58_label_encode": _q58_label_encode,
+        "q59_tree_bin": _q59_tree_bin,
     }
 
 
@@ -1267,6 +1291,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM aug x JOIN aug y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        """,
+        "q58_label_encode": """
+            WITH fs AS (
+                SELECT event_type AS value, min(event_id) AS f
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT value, row_number() OVER (ORDER BY f) - 1 AS code
+                FROM fs
+            )
+            SELECT e.event_id, m.code AS event_type_code
+            FROM events e JOIN m ON e.event_type = m.value
         """,
     }
 

@@ -1,4 +1,5 @@
 from featurewiz_spark.streaming.stream_features import (
+    stream_asof_enrich,
     stream_calendar_features,
     stream_sessionize,
     stream_windowed_agg,
@@ -8,4 +9,5 @@ __all__ = [
     "stream_sessionize",
     "stream_windowed_agg",
     "stream_calendar_features",
+    "stream_asof_enrich",
 ]

@@ -6,17 +6,22 @@ engine-side generalizations for unbounded page/event streams:
 - rolling aggregates (W4) → tumbling/sliding window aggs + watermark
 - calendar features (W1) → pure projections, identical code to batch
 
-Stateful custom ops (e.g. streaming as-of join) would use
-applyInPandasWithState; out of scope for v1 (no streaming source in the
-driver harness). These transformations are source-agnostic: they accept
-either a streaming or a batch DataFrame (tests drive them in batch mode,
-where session_window/window aggregate identically).
+Custom stateful op: `stream_asof_enrich` (applyInPandasWithState) — the
+streaming generalization of the batch as-of join: each event is enriched
+with the latest strictly-earlier value for its key, with per-key state
+carrying the last snapshot ACROSS micro-batches (zero temporal leakage:
+a row never sees its own or a later value).
+
+These transformations are source-agnostic where Spark allows it: the
+windowed aggs accept either a streaming or a batch DataFrame;
+stream_asof_enrich requires a streaming one (Spark restriction).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from featurewiz_spark.operators.timefeatures import add_calendar_features
 
@@ -82,3 +87,57 @@ def stream_windowed_agg(
 def stream_calendar_features(events: DataFrame, ts: str) -> DataFrame:
     """W1 projections work unchanged on streams (stateless)."""
     return add_calendar_features(events, ts, crosses=False)
+
+
+def stream_asof_enrich(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Streaming point-in-time as-of enrichment (custom stateful op).
+
+    Each incoming event gets ``out_col`` = the latest strictly-earlier
+    non-null ``value`` for its ``key`` — the streaming analog of the
+    batch asof_join's backward lookup (reference J2/J3 semantics,
+    my_encoders.py:1459-1472 / featurewiz.py:1876-1908). Per-key state
+    holds only the last seen snapshot value (O(1) state per key — at
+    10^9 keys this is a few GB across the cluster, partitioned by key),
+    so the lookup survives micro-batch boundaries. Within a batch, rows
+    are ordered by event time and each row sees only prior rows — zero
+    temporal leakage by construction.
+
+    Assumes per-key event-time ordering across batches (true for replay/
+    log-ordered sources); out-of-order refinement would need a ts kept in
+    state plus watermark-delayed emission.
+    """
+    import pandas as pd  # noqa: F401 (Arrow batches arrive as pandas)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_col = out_col or f"{value}_asof"
+    cols = events.columns
+    out_schema = T.StructType(
+        list(events.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    state_schema = T.StructType([T.StructField("last_val", T.DoubleType())])
+
+    def fn(key_, pdf_iter, state):
+        last_val = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts, kind="mergesort").copy()
+            prior = pdf[value].astype("float64").ffill().shift(1)
+            if last_val is not None:
+                prior = prior.fillna(last_val)
+            pdf[out_col] = prior
+            nonnull = pdf[value].dropna()
+            if len(nonnull):
+                last_val = float(nonnull.iloc[-1])
+            yield pdf[cols + [out_col]]
+        if last_val is not None:
+            state.update((last_val,))
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -260,3 +260,53 @@ def test_stream_watermark_drops_late_event(spark, tmp_path):
     assert emitted == [(2, 3.0)]
     # the unclosed trailing 11:20 window is still in state, not emitted
     assert all(str(r["window_start"]) != "2024-01-01 11:20:00" for r in rows)
+
+
+def test_stream_asof_enrich_state_across_batches(spark, tmp_path):
+    """Custom stateful streaming op (applyInPandasWithState): events in
+    micro-batch 2 must see the latest snapshot from micro-batch 1 via
+    per-key state — and never their own or a later value (no leakage)."""
+    import time as _time
+
+    from featurewiz_spark.streaming import stream_asof_enrich
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    batches = [
+        [(1, "2024-01-01 10:00", 1.0), (1, "2024-01-01 10:05", 2.0),
+         (2, "2024-01-01 10:01", 7.0)],
+        [(1, "2024-01-01 10:20", 5.0),   # must see 2.0 (state from batch 1)
+         (2, "2024-01-01 10:25", 9.0),   # must see 7.0
+         (3, "2024-01-01 10:30", 4.0)],  # new key: no prior → null
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        p = os.path.join(src, f"b{i}")
+        _write_stream_file(spark, b, p)
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("user bigint, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    enriched = stream_asof_enrich(stream, "user", "ts", "v")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("asof_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], str(r["ts"])): r["v_asof"]
+        for r in spark.sql("select * from asof_state").collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] is None       # nothing earlier
+    assert got[(1, "2024-01-01 10:05:00")] == 1.0        # within-batch prior
+    assert got[(1, "2024-01-01 10:20:00")] == 2.0        # carried via state
+    assert got[(2, "2024-01-01 10:25:00")] == 7.0        # per-key isolation
+    assert got[(3, "2024-01-01 10:30:00")] is None       # unseen key
