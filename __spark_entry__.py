@@ -433,7 +433,9 @@ def _q32_simhash(spark, sf):
 
 
 def _q33_langid(spark, sf):
-    """Stopword-vote language ID — rows-only for now."""
+    """Stopword-vote language ID. Oracle: per-language distinct stopword
+    hits (DuckDB list_intersect ≡ Spark array_intersect) with the argmax
+    tie broken by lang DESC — exactly Spark's struct array_max order."""
     from featurewiz_spark.text.stats import add_language_id
 
     docs = _tp(spark, sf, "documents")
@@ -1291,6 +1293,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.vec_id AS a, y.vec_id AS b
             FROM aug x JOIN aug y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        """,
+        "q33_langid": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(regexp_split_to_array(text, '\\s+'),
+                                      x -> lower(x)) AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                  len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
+                  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
+                  len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) AS h_fr,
+                  len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','que'])) AS h_es
+                FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                   WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+                   WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+                   WHEN h_en >= h_de THEN 'en'
+                   ELSE 'de' END AS lang_pred
+            FROM h
         """,
         "q58_label_encode": """
             WITH fs AS (
