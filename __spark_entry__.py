@@ -760,6 +760,41 @@ def _q59_tree_bin(spark, sf):
     return d.groupBy("price_tbin").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q60_facade(spark, sf):
+    """F3 FeatureWizSpark facade end-to-end (classify → engineer →
+    SULOV → ranking) on the events table; returns the selected feature
+    list. Rows-only (feature selection is an iterative algorithm);
+    facade internals are pytest-verified piecewise."""
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    ev = _t(spark, sf, "events").drop("props")
+    fw = FeatureWizSpark(corr_limit=0.9, feature_engg=[])
+    fw.fit_transform(ev, "value")
+    return spark.createDataFrame(
+        [(f,) for f in sorted(fw.features)], "feature string"
+    )
+
+
+def _q61_train_test_transfer(spark, sf):
+    """J4 train→test feature transfer (the leakage boundary): frequency
+    encoding fit on train (signup events EXCLUDED), applied to a test
+    slice — unseen categories fall back to their TEST-side frequency
+    (reference encoders.py:103-118). Fully SQL-expressible → oracle."""
+    from featurewiz_spark.operators.encoders import (
+        apply_frequency_encoding,
+        frequency_encode,
+    )
+
+    ev = _t(spark, sf, "events")
+    train = ev.filter(F.col("event_type") != "signup")
+    test = ev.filter(F.col("event_id") % 5 == 0)
+    _fitted, enc = frequency_encode(train, "event_type")
+    out = apply_frequency_encoding(test, "event_type", enc)
+    return out.select(
+        "event_id", F.round("event_type_freq", 6).alias("event_type_freq")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -821,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_cosine_near_dup": _q57_cosine_near_dup,
         "q58_label_encode": _q58_label_encode,
         "q59_tree_bin": _q59_tree_bin,
+        "q60_facade": _q60_facade,
+        "q61_train_test_transfer": _q61_train_test_transfer,
     }
 
 
@@ -1326,6 +1363,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_id, m.code AS event_type_code
             FROM events e JOIN m ON e.event_type = m.value
+        """,
+        "q61_train_test_transfer": """
+            WITH train AS (
+                SELECT * FROM events WHERE event_type <> 'signup'
+            ), test AS (
+                SELECT * FROM events WHERE event_id % 5 = 0
+            ), enc AS (
+                SELECT event_type AS value,
+                       count(*)::DOUBLE / (SELECT count(*) FROM train) AS f
+                FROM train GROUP BY 1
+            ), tf AS (
+                SELECT event_type AS value,
+                       count(*)::DOUBLE / (SELECT count(*) FROM test) AS f
+                FROM test GROUP BY 1
+            )
+            SELECT t.event_id,
+                   round(coalesce(e.f, tf.f), 6) AS event_type_freq
+            FROM test t
+            LEFT JOIN enc e ON t.event_type = e.value
+            LEFT JOIN tf ON t.event_type = tf.value
         """,
     }
 

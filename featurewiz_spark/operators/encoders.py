@@ -13,6 +13,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+_KEY = "__fw_key"
+
+
+def _join_fitted(df: DataFrame, col: str, fitted: DataFrame, how: str = "left") -> DataFrame:
+    """Broadcast-left-join a fitted ('value' → encodings) table on `col`
+    without capturing user columns: the fitted key is renamed to a
+    reserved name pre-join, so the post-join drop can never remove a
+    user column that happens to be called 'value' (e.g. the events
+    table's literal `value` measure — bug caught by driver query q60)."""
+    f = fitted.withColumnRenamed("value", _KEY)
+    return df.join(broadcast(f), on=df[col].eqNullSafe(f[_KEY]), how=how).drop(_KEY)
+
 
 def label_encode(
     df: DataFrame, col: str, order_col: str | None = None
@@ -37,11 +49,8 @@ def label_encode(
     mapping = first_seen.select(
         "value", (F.row_number().over(w) - 1).alias("code")
     )
-    out = (
-        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
-        .drop("value")
-        .withColumn(f"{col}_code", F.col("code"))
-        .drop("code")
+    out = _join_fitted(
+        df, col, mapping.withColumnRenamed("code", f"{col}_code")
     )
     if "__ord" in out.columns:
         out = out.drop("__ord")
@@ -65,12 +74,7 @@ def apply_label_encoding(
         "value", (F.lit(max_code) + F.row_number().over(w)).alias("code")
     )
     full = mapping.unionByName(unseen_map)
-    return (
-        df.join(broadcast(full), on=df[col].eqNullSafe(full["value"]), how="left")
-        .drop("value")
-        .withColumn(f"{col}_code", F.col("code"))
-        .drop("code")
-    )
+    return _join_fitted(df, col, full.withColumnRenamed("code", f"{col}_code"))
 
 
 def rare_class_combine(
@@ -92,10 +96,7 @@ def rare_class_combine(
         .otherwise(F.col("value").cast("string"))
         .alias(f"{col}_combined"),
     )
-    out = (
-        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
-        .drop("value")
-    )
+    out = _join_fitted(df, col, mapping)
     return out, mapping
 
 
@@ -111,10 +112,7 @@ def frequency_encode(
             (F.count(F.lit(1)) / F.lit(total)) if normalize else F.count(F.lit(1))
         ).cast("double").alias(f"{col}_freq")
     )
-    out = (
-        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
-        .drop("value")
-    )
+    out = _join_fitted(df, col, enc)
     return out, enc
 
 
@@ -124,12 +122,7 @@ def apply_frequency_encoding(df: DataFrame, col: str, enc: DataFrame) -> DataFra
     test_enc = df.groupBy(F.col(col).alias("value")).agg(
         (F.count(F.lit(1)) / F.lit(total)).cast("double").alias("__tf")
     )
-    out = (
-        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
-        .drop("value")
-        .join(broadcast(test_enc), on=df[col].eqNullSafe(test_enc["value"]), how="left")
-        .drop("value")
-    )
+    out = _join_fitted(_join_fitted(df, col, enc), col, test_enc)
     fcol = [c for c in enc.columns if c != "value"][0]
     return out.withColumn(fcol, F.coalesce(F.col(fcol), F.col("__tf"))).drop("__tf")
 
@@ -149,12 +142,8 @@ def target_encode(
             / (F.count(target) + F.lit(smoothing))
         ).alias(f"{col}_target_enc")
     )
-    out = (
-        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
-        .drop("value")
-        .withColumn(
-            f"{col}_target_enc", F.coalesce(F.col(f"{col}_target_enc"), F.lit(gmean))
-        )
+    out = _join_fitted(df, col, enc).withColumn(
+        f"{col}_target_enc", F.coalesce(F.col(f"{col}_target_enc"), F.lit(gmean))
     )
     return out, enc
 
@@ -207,10 +196,8 @@ def woe_encode(
             / ((F.col("__n") + F.lit(r)) / F.lit(neg + 2 * r))
         ).alias(f"{col}_woe"),
     )
-    out = (
-        df.join(broadcast(enc), on=df[col].eqNullSafe(enc["value"]), how="left")
-        .drop("value")
-        .withColumn(f"{col}_woe", F.coalesce(F.col(f"{col}_woe"), F.lit(0.0)))
+    out = _join_fitted(df, col, enc).withColumn(
+        f"{col}_woe", F.coalesce(F.col(f"{col}_woe"), F.lit(0.0))
     )
     return out, enc
 
@@ -237,10 +224,7 @@ def james_stein_groupby(
             ]
         )
         fitted[c] = enc
-        out = (
-            out.join(broadcast(enc), on=out[c].eqNullSafe(enc["value"]), how="left")
-            .drop("value")
-        )
+        out = _join_fitted(out, c, enc)
     return out, fitted
 
 
@@ -295,10 +279,7 @@ def contrast_encode(
     rows = [(categories[i], *mat[i]) for i in range(k)]
     cols = [f"{col}_{kind}_{j}" for j in range(k - 1)]
     mapping = df.sparkSession.createDataFrame(rows, ["value"] + cols)
-    out = (
-        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
-        .drop("value")
-    )
+    out = _join_fitted(df, col, mapping)
     return out, categories
 
 
@@ -326,10 +307,8 @@ def basen_encode(
         rows.append((c, *reversed(digits)))
     cols = [f"{col}_base{base}_{d}" for d in range(n_digits)]
     mapping = df.sparkSession.createDataFrame(rows, ["value"] + cols)
-    out = (
-        df.join(broadcast(mapping), on=df[col].eqNullSafe(mapping["value"]), how="left")
-        .drop("value")
-        .withColumns({c: F.coalesce(F.col(c), F.lit(0)) for c in cols})
+    out = _join_fitted(df, col, mapping).withColumns(
+        {c: F.coalesce(F.col(c), F.lit(0)) for c in cols}
     )
     return out, categories
 

@@ -38,7 +38,6 @@ from featurewiz_spark.operators.encoders import (
     target_encode,
     woe_encode,
 )
-from pyspark.sql.functions import broadcast
 from featurewiz_spark.operators.groupby import (
     apply_fitted_aggregates,
     groupby_aggregate,
@@ -127,9 +126,10 @@ class FeatureWizSpark:
 
     def _replay_mapping(self, df: DataFrame, col: str, tbl: DataFrame,
                         fill: float | None) -> DataFrame:
+        from featurewiz_spark.operators.encoders import _join_fitted
+
         gen = [f.name for f in tbl.schema.fields if f.name != "value"]
-        df = df.join(broadcast(tbl), on=df[col].eqNullSafe(tbl["value"]),
-                     how="left").drop("value")
+        df = _join_fitted(df, col, tbl)
         if fill is not None:
             df = df.withColumns(
                 {g: F.coalesce(F.col(g), F.lit(fill)) for g in gen}

@@ -336,3 +336,29 @@ def test_uniform_and_kmeans_bins(spark):
     binned = apply_bin_edges(df, "x", kedges, "kb")
     counts = binned.groupBy("kb").count().toPandas().set_index("kb")["count"]
     assert (counts == 300).all()
+
+
+def test_encoders_survive_user_column_named_value(spark):
+    """Regression: fitted tables key on a temp column called 'value'; a
+    user table with a LITERAL `value` column must keep it through every
+    encoder join (caught by driver query q60 on the events table)."""
+    from featurewiz_spark.operators.encoders import (
+        frequency_encode,
+        label_encode,
+        rare_class_combine,
+        target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, cat string, value double",
+    )
+    for out in (
+        label_encode(df, "cat", order_col="id")[0],
+        frequency_encode(df, "cat")[0],
+        rare_class_combine(df, "cat", threshold=0.0)[0],
+        target_encode(df, "cat", "value")[0],
+    ):
+        assert "value" in out.columns
+        got = {r["id"]: r["value"] for r in out.select("id", "value").collect()}
+        assert got == {1: 10.0, 2: 20.0, 3: 30.0}
