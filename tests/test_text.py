@@ -183,3 +183,27 @@ def test_cosine_near_dup_pairs_finds_planted_dup(spark):
     assert (3, 25) in pairs
     # random gaussian vectors in 12-d almost never hit cos >= 0.99
     assert len(pairs) <= 3
+
+
+def test_ivf_multiprobe_recovers_boundary_recall(spark):
+    """n_probe>1 must dominate single-probe recall on UNIFORM vectors,
+    where many true neighbors sit across k-means cell boundaries."""
+    from featurewiz_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(150, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r["vec_id"]: r["nn_id"] for r in brute_force_topk(df, k=1).collect()}
+
+    def recall(n_probe):
+        approx = {
+            r["vec_id"]: r["nn_id"]
+            for r in ivf_topk(df, k=1, n_cells=6, sample_rows=150,
+                              n_probe=n_probe).collect()
+        }
+        return sum(approx.get(i) == exact[i] for i in exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0.85  # 3 of 6 cells probed catches boundary neighbors
