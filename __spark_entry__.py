@@ -795,6 +795,17 @@ def _q61_train_test_transfer(spark, sf):
     )
 
 
+def _q62_curation_pipeline(spark, sf):
+    """Composed training-data curation flagship: exact dedup (min-id
+    keeper via content-hash window) → quality gate → language ID →
+    fingerprint — one shuffle end-to-end, full DuckDB oracle."""
+    from featurewiz_spark.plans.pipeline import documents_curation_pipeline
+
+    docs = _tp(spark, sf, "documents")
+    d = documents_curation_pipeline(docs)
+    return d.select("doc_id", "q_n_words", "lang_pred", "fp_md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -858,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_tree_bin": _q59_tree_bin,
         "q60_facade": _q60_facade,
         "q61_train_test_transfer": _q61_train_test_transfer,
+        "q62_curation_pipeline": _q62_curation_pipeline,
     }
 
 
@@ -1383,6 +1395,44 @@ def oracle_sql() -> dict[str, str]:
             FROM test t
             LEFT JOIN enc e ON t.event_type = e.value
             LEFT JOIN tf ON t.event_type = tf.value
+        """,
+        "q62_curation_pipeline": """
+            WITH kept AS (
+                SELECT * FROM documents
+                QUALIFY row_number() OVER (
+                    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                    ORDER BY doc_id) = 1
+            ), q AS (
+                SELECT doc_id, text,
+                       len(string_split_regex(text, '\\s+')) AS q_n_words,
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1) AS pr
+                FROM kept
+            ), f AS (
+                SELECT doc_id, text, q_n_words FROM q
+                WHERE q_n_words >= 5 AND pr <= 0.5
+            ), t AS (
+                SELECT doc_id, q_n_words,
+                       list_transform(string_split_regex(text, '\\s+'),
+                                      x -> lower(x)) AS toks,
+                       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
+                FROM f
+            ), h AS (
+                SELECT doc_id, q_n_words, fp_md5,
+                  len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
+                  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
+                  len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) AS h_fr,
+                  len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','que'])) AS h_es
+                FROM t
+            )
+            SELECT doc_id, q_n_words,
+              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                   WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+                   WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+                   WHEN h_en >= h_de THEN 'en'
+                   ELSE 'de' END AS lang_pred,
+              fp_md5
+            FROM h
         """,
     }
 

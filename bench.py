@@ -67,6 +67,7 @@ def _headline_queries(spark, sf_dir):
         "q20_exact_dedup",
         "q29_cosine_topk",
         "q31_minhash_lsh",
+        "q62_curation_pipeline",
     ]
     qs = e.queries()
     return {n: qs[n] for n in names}

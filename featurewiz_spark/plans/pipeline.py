@@ -67,6 +67,45 @@ def pages_feature_pipeline(
     return df
 
 
+def documents_curation_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_punct_ratio: float = 0.5,
+) -> DataFrame:
+    """Training-data curation flagship over the documents table: exact
+    dedup (keep the min-id doc per whitespace-normalized lowered
+    content), quality gating (word count + punctuation ratio), language
+    ID, content fingerprint.
+
+    Plan shape: ONE shuffle total — the dedup is a row_number window
+    over the content hash (no groupBy+join-back); everything after is a
+    pure projection that rides the same stage. At 100TB this is
+    scan-bound; the window partitions by a 128-bit hash, so skew is
+    impossible by construction.
+    """
+    from pyspark.sql import Window
+
+    from featurewiz_spark.text.stats import (
+        add_fingerprint,
+        add_language_id,
+        add_quality_features,
+    )
+
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    w = Window.partitionBy(F.md5(norm)).orderBy(F.col(id_col).asc())
+    d = docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    d = d.drop("__rn")
+    d = add_quality_features(d, text_col)
+    d = d.filter(
+        (F.col("q_n_words") >= min_words)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    )
+    d = add_language_id(d, text_col)
+    return add_fingerprint(d, text_col)
+
+
 def events_feature_pipeline(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Flagship over the driver's events table: windowed features per
     (user_id, ts) + as-of join to the user's latest strictly-earlier
