@@ -31,20 +31,67 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in _TABLES}
 
 
+# Reference encoding fallback chain, featurewiz/featurewiz.py:233-244
+_ENCODING_CHAIN = ["ascii", "utf-8", "iso-8859-1", "cp1252", "latin1"]
+
+# Spark's CSVOptions accepts only a charset whitelist; map the chain's
+# Python codec names onto it. cp1252/latin1 → ISO-8859-1: ISO-8859-1
+# accepts every byte, so reads succeed; the 0x80-0x9F printables of
+# cp1252 land as C1 controls (documented deviation — Spark has no
+# windows-1252 charset).
+_SPARK_CHARSET = {
+    "ascii": "US-ASCII",
+    "utf-8": "UTF-8",
+    "iso-8859-1": "ISO-8859-1",
+    "cp1252": "ISO-8859-1",
+    "latin1": "ISO-8859-1",
+}
+
+
+def detect_encoding(path: str, probe_bytes: int = 65536) -> str:
+    """S1 multi-encoding CSV support, Spark-style: pandas raises
+    UnicodeDecodeError and the reference retries the whole read with the
+    next encoding; Spark instead silently mojibakes, so we probe the
+    first 64KB driver-side against the same chain and hand the first
+    clean encoding to the distributed reader (one tiny read, not N full
+    ones). Directories/globs fall back to utf-8."""
+    import glob as _glob
+    import os
+
+    candidates = [path]
+    if os.path.isdir(path):
+        candidates = sorted(_glob.glob(os.path.join(path, "*")))
+    if not candidates or not os.path.isfile(candidates[0]):
+        return "utf-8"
+    with open(candidates[0], "rb") as f:
+        head = f.read(probe_bytes)
+    for enc in _ENCODING_CHAIN:
+        try:
+            head.decode(enc)
+            return enc
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return "utf-8"
+
+
 def read_any(
     spark: SparkSession,
     path: str,
     sep: str = ",",
     header: bool = True,
-    encoding: str = "utf-8",
+    encoding: str = "auto",
 ) -> DataFrame:
-    """Extension-dispatched read: parquet/csv/tsv/json; compressed CSV
-    (gz/bz2/zip/xz) is decoded by Spark's codec inference (S3).
+    """Extension-dispatched read: parquet/csv/tsv/json/feather;
+    compressed CSV (gz/bz2/zip/xz) is decoded by Spark's codec
+    inference (S3); encoding='auto' runs the reference's fallback
+    chain via a driver-side probe (S1).
 
     Reference: load_file_dataframe, featurewiz/featurewiz.py:186-280
     (CSV encodings :233-244, xlsx :245-247, compression :248-257,
-    feather :513-517). Excel is out of scope (no distributed reader);
-    callers convert to CSV/Parquet first.
+    feather :513-517). Feather is not a splittable format, so it is
+    read driver-side via pyarrow and parallelized — appropriate for the
+    reference's single-node-sized feather files; convert to Parquet for
+    anything larger. Excel needs openpyxl (absent here) and is gated.
     """
     low = path.lower()
     stripped = low
@@ -53,10 +100,28 @@ def read_any(
             stripped = stripped[: -len(comp)]
     if stripped.endswith((".parquet", ".pq")):
         return spark.read.parquet(path)
+    if stripped.endswith((".feather", ".ftr")):
+        import pyarrow.feather as _feather
+
+        return spark.createDataFrame(_feather.read_table(path).to_pandas())
+    if stripped.endswith((".xlsx", ".xls")):
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as ex:  # explicit gate: no xlsx codec in container
+            raise NotImplementedError(
+                "xlsx read requires openpyxl (not installed); convert to "
+                "CSV/Parquet, or install openpyxl and read via pandas"
+            ) from ex
+        import pandas as _pd
+
+        return spark.createDataFrame(_pd.read_excel(path))
     if stripped.endswith(".json") or stripped.endswith(".jsonl"):
         return spark.read.json(path)
     if stripped.endswith(".tsv"):
         sep = "\t"
+    if encoding == "auto":
+        encoding = detect_encoding(path)
+    encoding = _SPARK_CHARSET.get(encoding.lower(), encoding)
     return (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
