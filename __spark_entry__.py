@@ -806,6 +806,29 @@ def _q62_curation_pipeline(spark, sf):
     return d.select("doc_id", "q_n_words", "lang_pred", "fp_md5")
 
 
+def _q63_glmm_encode(spark, sf):
+    """A7/E5 GLMM (random-intercept) target encoding — shrinkage learned
+    from the variance decomposition; full method-of-moments SQL oracle."""
+    from featurewiz_spark.operators.encoders import glmm_encode
+
+    ev = _t(spark, sf, "events")
+    out, _enc = glmm_encode(ev, "event_type", "value")
+    return out.select(
+        "event_id", F.round("event_type_glmm", 6).alias("event_type_glmm")
+    )
+
+
+def _q64_gmm_bin(spark, sf):
+    """B1 strategy='gaussian' — histogram-compressed 1-D EM; no SQL
+    oracle (iterative), cluster recovery pytest-verified."""
+    from featurewiz_spark.operators.binning import apply_gmm_bins, gmm_bin_params
+
+    li = _t(spark, sf, "lineitem")
+    params = gmm_bin_params(li, "l_extendedprice", bins=4)
+    d = apply_gmm_bins(li, "l_extendedprice", params, "price_gbin")
+    return d.groupBy("price_gbin").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -870,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_facade": _q60_facade,
         "q61_train_test_transfer": _q61_train_test_transfer,
         "q62_curation_pipeline": _q62_curation_pipeline,
+        "q63_glmm_encode": _q63_glmm_encode,
+        "q64_gmm_bin": _q64_gmm_bin,
     }
 
 
@@ -1433,6 +1458,43 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'de' END AS lang_pred,
               fp_md5
             FROM h
+        """,
+        "q63_glmm_encode": """
+            WITH g AS (
+                SELECT avg(value) AS gm, count(value) AS nt FROM events
+            ), s AS (
+                SELECT event_type AS cat, count(value) AS n, avg(value) AS m,
+                       coalesce(var_samp(value), 0) AS v
+                FROM events GROUP BY 1
+            ), a AS (
+                SELECT count(*) AS c,
+                       sum((n - 1) * v) AS ssw,
+                       sum(n * (m - (SELECT gm FROM g)) ^ 2) AS ssb,
+                       sum(n * n) AS sn2
+                FROM s
+            ), p AS (
+                SELECT (SELECT gm FROM g) AS gm, (SELECT nt FROM g) AS nt,
+                       c, ssb, sn2,
+                       CASE WHEN (SELECT nt FROM g) > c
+                            THEN ssw / ((SELECT nt FROM g) - c)
+                            ELSE 0 END AS sigma2
+                FROM a
+            ), p2 AS (
+                SELECT *,
+                       CASE WHEN nt - sn2 / nt > 0
+                            THEN greatest(0, (ssb - (c - 1) * sigma2)
+                                             / (nt - sn2 / nt))
+                            ELSE 0 END AS tau2
+                FROM p
+            )
+            SELECT e.event_id,
+                   round(CASE WHEN s.n * p2.tau2 + p2.sigma2 > 0
+                         THEN p2.gm + (s.m - p2.gm) * s.n * p2.tau2
+                              / (s.n * p2.tau2 + p2.sigma2)
+                         ELSE p2.gm END, 6) AS event_type_glmm
+            FROM events e
+            JOIN s ON e.event_type = s.cat
+            CROSS JOIN p2
         """,
     }
 

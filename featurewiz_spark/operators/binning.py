@@ -151,6 +151,100 @@ def kmeans_bin_edges(
     return [float((centers[i] + centers[i + 1]) / 2) for i in range(bins - 1)]
 
 
+def gmm_bin_params(
+    df: DataFrame, col: str, bins: int = 4, hist_bins: int = 2048,
+    max_iter: int = 200, tol: float = 1e-10,
+) -> list[tuple[float, float, float]]:
+    """B1 strategy='gaussian' (reference FE_discretize_numeric_variables,
+    featurewiz/featurewiz.py:2507-2510: 1-D GaussianMixture fit_predict)
+    re-derived for scale: the same ONE-pass weighted histogram as
+    kmeans_bin_edges, then driver-side EM on (value, weight) pairs —
+    identical optimum to row-level EM up to histogram resolution at any
+    data size. Components are relabeled by ASCENDING MEAN (sklearn's
+    component order is RNG-dependent; ours is deterministic). Returns
+    [(weight, mean, std), ...]."""
+    import numpy as np
+
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        return [(1.0, lo, 1.0)]
+    w = (hi - lo) / hist_bins
+    hist = (
+        df.select(
+            F.least(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(hist_bins - 1)
+            ).alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    vals = np.array([lo + (r["b"] + 0.5) * w for r in hist])
+    wts = np.array([r["count"] for r in hist], dtype=np.float64)
+    order = np.argsort(vals)
+    vals, wts = vals[order], wts[order]
+    n = wts.sum()
+    # deterministic init: weighted-quantile means, global std, equal priors
+    cum = np.cumsum(wts) / n
+    mu = np.array([vals[np.searchsorted(cum, (i + 0.5) / bins)] for i in range(bins)])
+    gvar = np.average((vals - np.average(vals, weights=wts)) ** 2, weights=wts)
+    sig = np.full(bins, max(np.sqrt(gvar) / bins, 1e-6 * (hi - lo)))
+    pi = np.full(bins, 1.0 / bins)
+    floor = 1e-6 * (hi - lo)
+    prev_ll = -np.inf
+    for _ in range(max_iter):
+        logp = (
+            np.log(np.maximum(pi[None, :], 1e-300))
+            - np.log(sig[None, :])
+            - 0.5 * ((vals[:, None] - mu[None, :]) / sig[None, :]) ** 2
+        )
+        m = logp.max(axis=1, keepdims=True)
+        p = np.exp(logp - m)
+        tot = p.sum(axis=1, keepdims=True)
+        resp = p / tot
+        ll = float(np.sum(wts * (np.log(tot[:, 0]) + m[:, 0])))
+        rw = resp * wts[:, None]
+        nk = np.maximum(rw.sum(axis=0), 1e-12)
+        pi = nk / n
+        mu = (rw * vals[:, None]).sum(axis=0) / nk
+        sig = np.sqrt(
+            np.maximum((rw * (vals[:, None] - mu[None, :]) ** 2).sum(axis=0) / nk,
+                       floor**2)
+        )
+        if abs(ll - prev_ll) < tol * (abs(prev_ll) + 1):
+            break
+        prev_ll = ll
+    order = np.argsort(mu)
+    return [(float(pi[j]), float(mu[j]), float(sig[j])) for j in order]
+
+
+def apply_gmm_bins(
+    df: DataFrame, col: str, params: list[tuple[float, float, float]],
+    out_col: str,
+) -> DataFrame:
+    """Assign each row its argmax-posterior component — fully JVM-side:
+    array_max over (log π_k − log σ_k − (x−μ_k)²/2σ_k², k) structs, the
+    same declarative argmax idiom as the langid scorer. Null → null."""
+    import math
+
+    x = F.col(col).cast("double")
+    scores = [
+        F.struct(
+            (
+                F.lit(math.log(max(p, 1e-300)) - math.log(s))
+                - (x - F.lit(m)) * (x - F.lit(m)) / F.lit(2 * s * s)
+            ).alias("score"),
+            F.lit(k).alias("k"),
+        )
+        for k, (p, m, s) in enumerate(params)
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col, F.when(x.isNotNull(), best["k"]).cast("int")
+    )
+
+
 def tree_bin_edges(
     df: DataFrame, col: str, target: str, max_depth: int = 2, sample_rows: int = 10000,
 ) -> list[float]:

@@ -148,6 +148,64 @@ def target_encode(
     return out, enc
 
 
+def glmm_encode(
+    df: DataFrame, col: str, target: str
+) -> tuple[DataFrame, DataFrame]:
+    """A7/E5 GLMMEncoder (reference registry settings.py:24-31 /
+    databunch.py:34; category_encoders.glmm fits a random-intercept
+    model per category). Gaussian-target form re-derived as distributed
+    aggregates: the random-intercept posterior mean with method-of-
+    moments (one-way random-effects ANOVA) variance estimates,
+
+        enc_c = gm + (m_c − gm) · n_c τ² / (n_c τ² + σ²)
+
+    σ² = pooled within-category variance, τ² = between-category variance
+    (clipped at 0). Unlike the fixed-smoothing target_encode, the
+    shrinkage strength is LEARNED from the data's own variance
+    decomposition — categories in noisy targets shrink harder. One
+    aggregate pass + broadcast join; unseen/degenerate → grand mean."""
+    big = df.agg(
+        F.avg(target).alias("gm"),
+        F.count(target).alias("n"),
+    ).first()
+    gm, n_tot = float(big["gm"]), float(big["n"])
+    stats = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(target).alias("__n"),
+        F.avg(target).alias("__m"),
+        F.coalesce(F.var_samp(target), F.lit(0.0)).alias("__v"),
+    )
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("__n") - 1) * F.col("__v")).alias("ss_within"),
+        F.sum(F.col("__n") * (F.col("__m") - F.lit(gm)) ** 2).alias("ss_between"),
+        F.sum(F.col("__n") * F.col("__n")).alias("sum_n2"),
+    ).first()
+    c = float(agg["c"])
+    sigma2 = float(agg["ss_within"]) / (n_tot - c) if n_tot > c else 0.0
+    denom = n_tot - float(agg["sum_n2"]) / n_tot
+    tau2 = (
+        max(0.0, (float(agg["ss_between"]) - (c - 1) * sigma2) / denom)
+        if denom > 0
+        else 0.0
+    )
+    shrink = (F.col("__n") * F.lit(tau2)) / (
+        F.col("__n") * F.lit(tau2) + F.lit(sigma2)
+    )
+    enc = stats.select(
+        "value",
+        F.when(
+            F.col("__n") * F.lit(tau2) + F.lit(sigma2) > 0,
+            F.lit(gm) + (F.col("__m") - F.lit(gm)) * shrink,
+        )
+        .otherwise(F.lit(gm))
+        .alias(f"{col}_glmm"),
+    )
+    out = _join_fitted(df, col, enc).withColumn(
+        f"{col}_glmm", F.coalesce(F.col(f"{col}_glmm"), F.lit(gm))
+    )
+    return out, enc
+
+
 def ordered_target_encode(
     df: DataFrame, col: str, target: str, ts: str, prior: float | None = None,
     prior_weight: float = 1.0,

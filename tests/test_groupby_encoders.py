@@ -362,3 +362,61 @@ def test_encoders_survive_user_column_named_value(spark):
         assert "value" in out.columns
         got = {r["id"]: r["value"] for r in out.select("id", "value").collect()}
         assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_gmm_bin_recovers_separated_clusters(spark):
+    """B1 strategy='gaussian': three well-separated 1-D gaussians must
+    map to three distinct bins aligned with the true clusters, labels
+    ordered by ascending mean."""
+    import numpy as np
+
+    from featurewiz_spark.operators.binning import apply_gmm_bins, gmm_bin_params
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate(
+        [rng.normal(0, 0.5, 400), rng.normal(10, 0.5, 300), rng.normal(25, 1.0, 300)]
+    )
+    truth = np.repeat([0, 1, 2], [400, 300, 300])
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(x)], "id long, x double"
+    )
+    params = gmm_bin_params(df, "x", bins=3)
+    mus = [m for _, m, _ in params]
+    assert abs(mus[0] - 0) < 0.5 and abs(mus[1] - 10) < 0.5 and abs(mus[2] - 25) < 1.0
+    out = apply_gmm_bins(df, "x", params, "xb").toPandas().sort_values("id")
+    assert (out["xb"].to_numpy() == truth).mean() > 0.995
+
+
+def test_glmm_encode_matches_numpy_mom(spark):
+    """GLMM (random-intercept, gaussian) encoding must equal the
+    method-of-moments posterior mean computed directly in numpy."""
+    import numpy as np
+
+    from featurewiz_spark.operators.encoders import glmm_encode
+
+    rng = np.random.default_rng(9)
+    cats = np.repeat(["a", "b", "c", "d"], [50, 30, 15, 5])
+    effects = {"a": 0.0, "b": 2.0, "c": -1.0, "d": 5.0}
+    y = np.array([effects[c] for c in cats]) + rng.normal(0, 1.0, len(cats))
+    df = spark.createDataFrame(
+        [(str(c), float(v)) for c, v in zip(cats, y)], "cat string, y double"
+    )
+    out, _ = glmm_encode(df, "cat", "y")
+    got = {r["cat"]: r["cat_glmm"] for r in out.select("cat", "cat_glmm").distinct().collect()}
+
+    gm = y.mean()
+    ns = {c: (cats == c).sum() for c in effects}
+    ms = {c: y[cats == c].mean() for c in effects}
+    vs = {c: y[cats == c].var(ddof=1) for c in effects}
+    n_tot, C = len(y), len(effects)
+    sigma2 = sum((ns[c] - 1) * vs[c] for c in effects) / (n_tot - C)
+    ssb = sum(ns[c] * (ms[c] - gm) ** 2 for c in effects)
+    denom = n_tot - sum(n * n for n in ns.values()) / n_tot
+    tau2 = max(0.0, (ssb - (C - 1) * sigma2) / denom)
+    for c in effects:
+        want = gm + (ms[c] - gm) * ns[c] * tau2 / (ns[c] * tau2 + sigma2)
+        assert abs(got[c] - want) < 1e-9
+    # rare category 'd' shrinks toward gm harder than common 'b' (relative)
+    wd = ns["d"] * tau2 / (ns["d"] * tau2 + sigma2)
+    wb = ns["b"] * tau2 / (ns["b"] * tau2 + sigma2)
+    assert wd < wb
