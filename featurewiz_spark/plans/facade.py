@@ -31,6 +31,7 @@ from featurewiz_spark.operators.encoders import (
     clean_nans,
     contrast_encode,
     frequency_encode,
+    glmm_encode,
     hashing_encode,
     james_stein_groupby,
     label_encode,
@@ -54,7 +55,7 @@ class FeatureWizSpark:
     feature_engg: list[str] = field(default_factory=list)  # {'groupby','interactions','target'}
     # reference category_encoders param (databunch.py:252-327): names from
     # {'onehot','hashing','frequency','woe','helmert','sum',
-    #  'backward_difference','polynomial','basen','james_stein'}
+    #  'backward_difference','polynomial','basen','james_stein','glmm'}
     category_encoders: list[str] = field(default_factory=list)
     skip_sulov: bool = False
     skip_ranking: bool = False
@@ -183,6 +184,12 @@ class FeatureWizSpark:
                     if fit:
                         df, tbls = james_stein_groupby(df, [c], self._num_vars)
                         self._cat_enc_state[key] = tbls[c]
+                    else:
+                        df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
+                elif enc == "glmm":
+                    if fit:
+                        df, tbl = glmm_encode(df, c, self._target)
+                        self._cat_enc_state[key] = tbl
                     else:
                         df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
                 else:

@@ -164,13 +164,16 @@ def test_facade_category_encoder_suite(spark, corr_pdf):
     from featurewiz_spark.plans.facade import FeatureWizSpark
 
     pdf = corr_pdf.copy()
-    pdf["cat"] = np.random.default_rng(9).choice(["a", "b", "c"], len(pdf))
+    # category correlated with y: glmm's LEARNED shrinkage stays > 0
+    # (a y-independent cat gives tau^2 = 0 → constant column → the
+    # zero-variance drop removes it, correctly)
+    pdf["cat"] = pd.qcut(pdf["y"], 3, labels=["a", "b", "c"]).astype(str)
     df = spark.createDataFrame(pdf)
     train, test = df.randomSplit([0.8, 0.2], seed=42)
     fw = FeatureWizSpark(
         corr_limit=0.7,
         category_encoders=["frequency", "woe", "target", "helmert", "basen",
-                           "hashing", "james_stein"],
+                           "hashing", "james_stein", "glmm"],
         skip_sulov=True, skip_ranking=True,
     )
     # binary target for woe
@@ -181,6 +184,7 @@ def test_facade_category_encoder_suite(spark, corr_pdf):
     assert any("freq" in c for c in out.columns)
     assert any("woe" in c for c in out.columns)
     assert any("helmert" in c for c in out.columns)
+    assert any("glmm" in c for c in out.columns)
     replayed = fw.transform(test)
     assert [c for c in replayed.columns if c != "y"] == fw.features
     assert replayed.count() > 0
