@@ -411,6 +411,8 @@ def clean_nans(
     nulls → median (exact percentile; switch to percentile_approx at
     100TB scale via stat='approx_median'), plus _isNAN flags.
     Returns (df, fitted fill values) for test replay."""
+    if not num_cols:  # nothing numeric to clean (e.g. all-categorical table)
+        return df, {}
     exprs = []
     for c in num_cols:
         if stat == "median":
