@@ -183,6 +183,10 @@ def scaling_runs() -> dict:
 def write_baseline_md(result: dict) -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     s = result.get("scaling", {})
+    if not s and os.path.exists("/root/repo/BENCH/BASELINE.md"):
+        # headline-only run (FW_BENCH_SKIP_SCALING=1): keep the existing
+        # file — overwriting would destroy the scaling-evidence section
+        return
     rn = s.get(f"local[{SCALE_N}]", {})
     r4n = s.get(f"local[{SCALE_4N}]", {})
     lines = [
