@@ -32,6 +32,16 @@ _AGG_BUILDERS = {
     "quantile75": lambda c: F.expr(f"percentile({c}, 0.75)"),
 }
 
+# 100TB scale path: exact percentile forces ObjectHashAggregate (no
+# whole-stage codegen — see BENCH/PLAN_AUDIT.md q01 note); the approx
+# variants keep codegen with bounded relative error. Selected via
+# groupby_aggregate(..., percentile_mode="approx").
+_APPROX_PERCENTILES = {
+    "median": lambda c: F.percentile_approx(c, 0.5),
+    "quantile25": lambda c: F.percentile_approx(c, 0.25),
+    "quantile75": lambda c: F.percentile_approx(c, 0.75),
+}
+
 CUMULATIVE = {"cumsum": "sum", "cumprod": "product", "cummax": "max", "cummin": "min"}
 
 
@@ -41,10 +51,16 @@ def groupby_aggregate(
     num_cols: list[str],
     aggs: list[str] = ("mean",),
     drop_zero_variance: bool = True,
+    percentile_mode: str = "exact",
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """A1 Groupby_Aggregator (reference my_encoders.py:453-618): for each
     categorical c and numeric n and agg f, add column ``{n}_by_{c}_{f}``
     via groupBy(c).agg + broadcast left join back.
+
+    percentile_mode='exact' (default) matches pandas median bit-for-bit
+    but runs as ObjectHashAggregate (no codegen); 'approx' uses
+    percentile_approx — the 100TB path, keeping whole-stage codegen at
+    bounded relative error.
 
     `mad` (mean absolute deviation) needs a two-pass plan and is exposed
     separately via :func:`groupby_mad`. cum* functions are window ops —
@@ -62,7 +78,12 @@ def groupby_aggregate(
             for a in aggs:
                 if a in CUMULATIVE:
                     continue
-                exprs.append(_AGG_BUILDERS[a](n).alias(f"{n}_by_{c}_{a}"))
+                builder = (
+                    _APPROX_PERCENTILES[a]
+                    if percentile_mode == "approx" and a in _APPROX_PERCENTILES
+                    else _AGG_BUILDERS[a]
+                )
+                exprs.append(builder(n).alias(f"{n}_by_{c}_{a}"))
         if not exprs:
             continue
         agg_tbl = df.groupBy(c).agg(*exprs)

@@ -420,3 +420,27 @@ def test_glmm_encode_matches_numpy_mom(spark):
     wd = ns["d"] * tau2 / (ns["d"] * tau2 + sigma2)
     wb = ns["b"] * tau2 / (ns["b"] * tau2 + sigma2)
     assert wd < wb
+
+
+def test_groupby_percentile_mode_approx_close_to_exact(spark):
+    """percentile_mode='approx' (the codegen-preserving 100TB path) must
+    track the exact median within percentile_approx's error bound."""
+    import numpy as np
+
+    from featurewiz_spark.operators.groupby import groupby_aggregate
+
+    rng = np.random.default_rng(13)
+    df = spark.createDataFrame(
+        [(str(c), float(v)) for c, v in
+         zip(rng.choice(["a", "b"], 2000), rng.normal(100, 20, 2000))],
+        "cat string, x double",
+    )
+    exact, _ = groupby_aggregate(df, ["cat"], ["x"], aggs=["median"])
+    approx, _ = groupby_aggregate(df, ["cat"], ["x"], aggs=["median"],
+                                  percentile_mode="approx")
+    e = {r["cat"]: r["x_by_cat_median"]
+         for r in exact.select("cat", "x_by_cat_median").distinct().collect()}
+    a = {r["cat"]: r["x_by_cat_median"]
+         for r in approx.select("cat", "x_by_cat_median").distinct().collect()}
+    for c in e:
+        assert abs(e[c] - a[c]) < 1.0  # well inside the accuracy bound here
