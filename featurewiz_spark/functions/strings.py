@@ -32,15 +32,20 @@ def split_reduce(
 ) -> DataFrame:
     """FE_split_add_column (reference featurewiz/featurewiz.py:1911-1958):
     split then fold with +, *, or string-concat — higher-order
-    ``aggregate`` over the split array (stays in codegen)."""
+    ``aggregate`` over the split array (stays in codegen).
+
+    Built from Column expressions, not interpolated SQL: `sep` is a
+    literal separator (regex-escaped, so '.', '|', \"'\" all work) and
+    the column name can't break the expression (r1 verdict bug #7)."""
     out_col = out_col or f"{col}_{op}"
-    arr = f"split({col}, '{sep}')"
+    arr = F.split(F.col(col), re.escape(sep))
+    nums = F.transform(arr, lambda x: x.cast("double"))
     if op == "add":
-        e = F.expr(f"aggregate(transform({arr}, x -> cast(x as double)), 0.0D, (a, x) -> a + x)")
+        e = F.aggregate(nums, F.lit(0.0), lambda a, x: a + x)
     elif op == "mult":
-        e = F.expr(f"aggregate(transform({arr}, x -> cast(x as double)), 1.0D, (a, x) -> a * x)")
+        e = F.aggregate(nums, F.lit(1.0), lambda a, x: a * x)
     elif op == "concat":
-        e = F.expr(f"array_join({arr}, '')")
+        e = F.array_join(arr, "")
     else:
         raise ValueError(op)
     return df.withColumn(out_col, e)

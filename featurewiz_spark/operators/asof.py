@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featurewiz_spark.operators.windows import _interval_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -203,14 +205,6 @@ def bucketed_asof_join(
     return out.drop("__bkt", "__carry")
 
 
-def _interval_seconds(interval: str) -> int:
-    n, unit = interval.split()
-    mult = {
-        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-        "week": 604800, "weeks": 604800,
-    }[unit.lower()]
-    return int(n) * mult
 
 
 def lag_join(

@@ -169,20 +169,31 @@ def minhash_lsh_pairs(
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
-    partitions: int | None = None,
+    partitions: int | None = None, hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash fingerprint: per token, xxhash64 → for each bit position
+    """SimHash fingerprint: per token, hash → for each bit position
     sum ±1; sign vector → fingerprint. Near-dups differ in few bits
     (hamming distance). Declarative aggregate over exploded tokens.
+
+    hash_family: "xxhash64" (default, fastest — one JVM hash op) or
+    "md5_60" (first 15 hex digits of md5 as a 60-bit int). md5_60 is
+    engine-portable: DuckDB/Trino/Postgres can recompute the identical
+    fingerprint, which is what the driver's SQL oracle does. Both are
+    deterministic and cluster-size-independent.
 
     Plan: explode tokens → per-(doc, bit) contributions are computed as
     one aggregate of 64 sum expressions — single shuffle on doc id.
     """
+    if hash_family == "md5_60" and bits > 60:
+        raise ValueError("md5_60 provides 60 bits; use bits <= 60")
     df = _spread(df, partitions)
     toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    tok = df.select(id_col, F.explode(toks).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+    h = (
+        F.xxhash64("tok")
+        if hash_family == "xxhash64"
+        else F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     )
+    tok = df.select(id_col, F.explode(toks).alias("tok")).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -205,14 +216,20 @@ def hamming_distance(a, b):
 
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    out_col: str = "jaccard",
+    out_col: str = "jaccard", shingle_k: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard for given candidate pairs (a, b):
-    |tokens_a ∩ tokens_b| / |tokens_a ∪ tokens_b| with distinct tokens.
-    Two broadcast-able joins pull token arrays onto the pair rows."""
-    toks = df.select(
-        F.col(id_col), F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t")
+    |set_a ∩ set_b| / |set_a ∪ set_b| over distinct tokens, or over
+    word k-shingles when `shingle_k` is set (the exact-verify step of a
+    MinHash-LSH pipeline measures the SAME shingle sets the signatures
+    were built from). Two broadcast-able joins pull the arrays onto the
+    pair rows — cost scales with candidate count, not corpus²."""
+    sets = (
+        _shingles(text_col, shingle_k)
+        if shingle_k is not None
+        else F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     )
+    toks = df.select(F.col(id_col), sets.alias("__t"))
     j = (
         pairs.join(toks.withColumnRenamed("__t", "__ta"), pairs["a"] == toks[id_col])
         .drop(id_col)

@@ -33,27 +33,29 @@ def label_encode(
     FIRST-APPEARANCE order (pandas factorize), NaN → its own code.
 
     Distributed first-appearance: min(order_col) per value → codes by
-    that order. order_col defaults to a monotonically-increasing id —
-    callers that need cross-run determinism should pass an explicit
-    stable column (e.g. an event_id). Returns (encoded_df, mapping_df
-    ['value', 'code']); nulls get the code after all seen values
-    (reference maps NaN explicitly, :92-96).
+    that order; pass the table's event-time/row-id column to reproduce
+    the reference's encounter order. With order_col=None the code order
+    is xxhash64(value) — NOT first-appearance, but run- and
+    cluster-size-STABLE (SURVEY §7.4 determinism rule). The previous
+    fallback (monotonically_increasing_id) changed with partitioning,
+    so the same data could encode differently on different clusters.
+    Returns (encoded_df, mapping_df ['value', 'code']); nulls get the
+    code after all seen values (reference maps NaN explicitly, :92-96).
     """
-    if order_col is None:
-        df = df.withColumn("__ord", F.monotonically_increasing_id())
-        order_col = "__ord"
     first_seen = df.groupBy(F.col(col).alias("value")).agg(
-        F.min(order_col).alias("__first")
+        (
+            F.min(order_col)
+            if order_col is not None
+            else F.first(F.xxhash64(F.col(col)))
+        ).alias("__first")
     )
-    w = Window.orderBy(F.col("__first").asc())
+    w = Window.orderBy(F.col("__first").asc(), F.col("value").asc_nulls_last())
     mapping = first_seen.select(
         "value", (F.row_number().over(w) - 1).alias("code")
     )
     out = _join_fitted(
         df, col, mapping.withColumnRenamed("code", f"{col}_code")
     )
-    if "__ord" in out.columns:
-        out = out.drop("__ord")
     return out, mapping
 
 

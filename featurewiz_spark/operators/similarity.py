@@ -316,6 +316,36 @@ def ivf_topk(
     )
 
 
+def _cap_buckets(bucketed: DataFrame, bucket_col: str, max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH buckets above `max_bucket_size` before the per-bucket
+    all-pairs step — the same guard minhash_lsh_pairs applies (dedup.py).
+    A 2^n_planes bucket space over a 10^9-doc corpus can put millions of
+    vectors in one bucket; O(bucket²) pandas blocks there are a stall,
+    not a computation. Dropping is an explicit coverage cap (log the
+    count); the durable fix is raising n_planes with corpus size — see
+    planes_for_corpus()."""
+    if max_bucket_size is None:
+        return bucketed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket_col)
+    return (
+        bucketed.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def planes_for_corpus(n_rows: int, target_bucket_size: int = 1000) -> int:
+    """n_planes so the AVERAGE bucket holds ~target_bucket_size vectors:
+    2^planes ≈ n/target. Hot buckets still exceed the average (sign
+    patterns are not uniform on clustered data) — keep max_bucket_size
+    as the hard guard."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2.0, n_rows / target_bucket_size))))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -323,12 +353,16 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup):
     LSH-bucket candidates, within-bucket cosine, keep pairs ≥ threshold.
     Returns (a, b, cos_sim) with a < b. Recall is governed by n_planes
-    (near-identical vectors collide in all buckets with high prob.)."""
-    bucketed = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    (near-identical vectors collide in all buckets with high prob.);
+    buckets above max_bucket_size are dropped (see _cap_buckets)."""
+    bucketed = _cap_buckets(
+        lsh_bucket(df, id_col, vec_col, n_planes, seed), "lsh_bucket", max_bucket_size
+    )
     schema = T.StructType(
         [
             T.StructField("a", T.LongType()),
@@ -368,11 +402,16 @@ def ann_topk_lsh(
     k: int = 1,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """ANN via LSH buckets + within-bucket brute force (applyInPandas per
     bucket). Recall < 1.0 by construction; the bucketing cost is one
-    shuffle on bucket id instead of an O(N²) cross join."""
-    bucketed = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    shuffle on bucket id instead of an O(N²) cross join. Buckets above
+    max_bucket_size are dropped (their rows get no neighbors) — size
+    n_planes to the corpus with planes_for_corpus()."""
+    bucketed = _cap_buckets(
+        lsh_bucket(df, id_col, vec_col, n_planes, seed), "lsh_bucket", max_bucket_size
+    )
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

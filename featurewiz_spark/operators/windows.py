@@ -138,11 +138,18 @@ def sessionize(
     ts: str,
     gap: str = "30 minutes",
     out_col: str = "session_id",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """W6 gap-based sessionization: a new session starts when the gap to
     the previous event (per entity) exceeds `gap`. session_id = running
     count of session starts — `sum(is_new_session) over
     (partitionBy(entity).orderBy(ts))`.
+
+    Gaps are compared at MICROSECOND precision (`unix_micros`), the full
+    resolution of TimestampType — second-truncation would misclassify a
+    fractional-second gap straddling the threshold. `tie_break` makes
+    the scan order total when equal (entity, ts) rows exist; without it
+    the lag/running-sum order is partition-dependent.
 
     Reference analog: FE_calculate_duration_from_timestamp
     (featurewiz/featurewiz.py:3627-3683) pairs alternating rows; gap
@@ -150,12 +157,14 @@ def sessionize(
     maps to F.session_window (see featurewiz_spark.streaming).
     """
     kl = _keys(keys)
-    w = Window.partitionBy(*kl).orderBy(F.col(ts))
-    gap_s = _interval_seconds(gap)
-    prev = F.lag(F.unix_timestamp(F.col(ts))).over(w)
-    is_new = F.when(
-        prev.isNull() | ((F.unix_timestamp(F.col(ts)) - prev) > gap_s), 1
-    ).otherwise(0)
+    order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]
+    w = Window.partitionBy(*kl).orderBy(*order)
+    gap_us = _interval_seconds(gap) * 1_000_000
+    # cast: unix_micros rejects TIMESTAMP_NTZ; NTZ→TZ shifts by a
+    # constant session offset, which cancels in the gap difference
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
     return df.withColumn(
         out_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),

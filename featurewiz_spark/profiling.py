@@ -124,7 +124,10 @@ def classify_columns(
         if nn == 0 or p.n_distinct <= 1 or p.n_null >= NULL_DELETE_FRAC * p.n or p.n_inf > 0:
             tx.cols_delete.append(c)
             continue
-        if isinstance(dt, (T.TimestampType, T.DateType)):
+        # TimestampNTZType is a distinct class from TimestampType —
+        # omitting it silently sent NTZ columns (the parquet default for
+        # naive timestamps) to cols_delete via the unknown-type fallthrough
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             tx.date_vars.append(c)  # classify_method.py:161-163
             continue
         if isinstance(dt, T.BooleanType):

@@ -370,11 +370,19 @@ def sulov_select(
     mode: str = "pairwise",
     adaptive_threshold: bool = False,
     method: str = "pearson",
+    relevance: str = "mi",
 ) -> list[str]:
     """Full SULOV: returns the selected column list (deterministic).
 
     corr_limit defaults: 0.70 functional API (featurewiz.py:389) /
     0.90 class API (featurewiz.py:2982) — caller picks.
+
+    relevance: "mi" (default — the reference's mutual-information
+    ranking, sulov_method.py:166-170) or "abs_corr" (|Pearson(c,
+    target)|, one extra column in the same Gram pass). abs_corr is
+    fully SQL-expressible, which makes the greedy knockout verifiable
+    by an independent engine (the driver's DuckDB oracle re-derives it
+    with corr() + a recursive CTE).
     """
     if len(cols) < 2:
         return list(cols)
@@ -397,7 +405,13 @@ def sulov_select(
     if not pairs:
         return list(cols)
     involved = sorted({c for p in pairs for c in p})
-    mi = mutual_info(df, involved, target, problem_type)
+    if relevance == "mi":
+        mi = mutual_info(df, involved, target, problem_type)
+    elif relevance == "abs_corr":
+        rc = correlation_matrix(df, involved + [target], method=method)
+        mi = {c: float(rc.loc[c, target]) for c in involved}
+    else:
+        raise ValueError(relevance)
     untouched = [c for c in cols if c not in set(involved)]
 
     if mode == "pairwise":

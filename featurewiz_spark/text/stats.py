@@ -16,9 +16,6 @@ _STOPWORDS = {
     "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
 }
 
-_TOKEN_REGEX = r"\\w+|[^\\w\\s]"  # BPE-ish: words plus punctuation marks
-
-
 def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, word count, mean word length, punctuation
     ratio, stopword ratio (en), uppercase ratio, digit ratio."""

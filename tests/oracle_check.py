@@ -15,21 +15,25 @@ import duckdb
 
 
 def canon(rows, cols):
-    """Canonical sorted representation for order-insensitive compare."""
+    """Canonical sorted representation for order-insensitive compare.
+
+    STRICT on purpose (round-1 driver lesson): no rounding and no ±0.0
+    normalization here — the driver's value-hash is exact, so queries
+    must canonicalize their own output (round in the projection, `+ 0.0`
+    after trig rounds, cast window sums to BIGINT in the oracle). A
+    harness that rounds masks exactly the mismatches the driver flags
+    (r1: q05 hugeint-vs-bigint, q09 -0.0-vs-0.0)."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in idx:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == -0.0:
-                        v = 0.0
-            vals.append(str(v))
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            else:
+                v = repr(v)
+            vals.append(v)
         out.append("|".join(vals))
     out.sort()
     return out
