@@ -160,11 +160,15 @@ def _q08_calendar(spark, sf):
     from featurewiz_spark.operators.timefeatures import add_calendar_features
 
     ev = _t(spark, sf, "events")
-    d = add_calendar_features(ev, "ts", prefix="c", cyclic=False, crosses=True)
+    d = add_calendar_features(ev, "ts", prefix="c", cyclic=False, crosses=True,
+                              ref_year=2025)
     return d.select(
         "event_id", "c_hour", "c_minute", "c_dayofweek", "c_quarter", "c_month",
         "c_year", "c_dayofyear", "c_dayofmonth", "c_weekofyear", "c_is_weekend",
         "c_dow_hour", "c_month_dow",
+        "c_month_name", "c_typeofday", "c_is_festive", "c_is_winter",
+        "c_is_summer", "c_is_cold", "c_is_warm", "c_month_typeofday",
+        "c_age_in_years",
     )
 
 
@@ -398,7 +402,9 @@ def _q28_jaccard_consecutive(spark, sf):
     pairs = docs.select(
         F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
     ).join(docs.select(F.col("doc_id").alias("b")), on="b", how="inner")
-    d = jaccard_pairs(docs, pairs, "text", "doc_id")
+    # pairs span the whole corpus here — the candidate-id semi-join
+    # prefilter would only add a join, so skip it
+    d = jaccard_pairs(docs, pairs, "text", "doc_id", restrict_to_pairs=False)
     return d.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -534,12 +540,16 @@ def _q37_numeric_transforms(spark, sf):
 
 
 def _q38_one_hot(spark, sf):
-    from featurewiz_spark.operators.encoders import one_hot_encode
+    """E4 one-hot + hashing (n_components indicator columns, md5 bucket
+    family — the DuckDB oracle recomputes the identical buckets)."""
+    from featurewiz_spark.operators.encoders import hashing_encode, one_hot_encode
 
     c = _t(spark, sf, "customer")
     d, _ = one_hot_encode(c, "c_mktsegment")
+    d = hashing_encode(d, "c_mktsegment", n_components=4)
     keep = [f.name for f in d.schema.fields if f.name.startswith("c_mktsegment_is_")]
-    return d.select("c_custkey", *keep)
+    hcols = ["c_mktsegment_hash"] + [f"c_mktsegment_hash_{j}" for j in range(4)]
+    return d.select("c_custkey", *keep, *hcols)
 
 
 def _q39_split_reduce(spark, sf):
@@ -882,6 +892,62 @@ def _q64_gmm_bin(spark, sf):
     return d.groupBy("price_gbin").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q65_multilabel_ranking(spark, sf):
+    """F2 multi-label targets (reference featurewiz.py:788-795): rank
+    features for a TWO-target events frame — both targets excluded from
+    candidates, importances from the first target's model (reference
+    MultiOutput first-estimator convention :1408-1417). Oracle pins the
+    deterministic selected list (model-based, like q35)."""
+    from featurewiz_spark.selection.ranker import recursive_feature_ranking
+
+    ev = (
+        _t(spark, sf, "events")
+        .withColumn("value2", F.col("value") * 2 + (F.col("user_id") % 7))
+        .withColumn("hour", F.hour("ts"))
+        .withColumn("dow", F.dayofweek("ts"))
+        .withColumn("uid_mod", F.col("user_id") % 100)
+    )
+    sel = recursive_feature_ranking(
+        ev, ["hour", "dow", "uid_mod", "event_id"], ["value", "value2"],
+        "Regression", sample_rows=4000,
+    )
+    return spark.createDataFrame([(c,) for c in sel], "feature string")
+
+
+def _q66_nth_largest_cap(spark, sf):
+    """O3 faithful nth-largest capping (reference featurewiz.py:
+    2076-2085): max-valued rows capped to the (num_maxs + 5)-th largest
+    value. Fully SQL-expressible → DuckDB oracle recomputes the cap
+    value with ORDER BY ... OFFSET."""
+    from featurewiz_spark.operators.binning import nth_largest_cap
+
+    li = _t(spark, sf, "lineitem")
+    d, _ = nth_largest_cap(li, "l_extendedprice", cap_at_nth_largest=5)
+    return d.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 6).alias("price_capped"),
+    )
+
+
+def _q67_outlier_row_drop(spark, sf):
+    """B4 multi-column outlier row-drop (reference featurewiz.py:
+    2093-2102, drop=True): rows outside the 1.5·IQR fence in ≥4 columns
+    dropped. Four exponential transforms of price share their outlier
+    tail (a uniform base column has NO 1.5·IQR outliers — measured — so
+    plain powers would make the test vacuous); the top tail is outlier
+    in all four → dropped (4814 rows at sf0.01). Surviving row KEYS are
+    the oracle contract (fences recomputed in DuckDB with quantile_cont
+    ≡ Spark exact percentile)."""
+    from featurewiz_spark.operators.binning import iqr_outlier_row_drop
+
+    li = _t(spark, sf, "lineitem")
+    for i, d_ in enumerate((20000, 15000, 12000, 10000)):
+        li = li.withColumn(f"e{i}", F.exp(F.col("l_extendedprice") / d_))
+    d, _ = iqr_outlier_row_drop(li, ["e0", "e1", "e2", "e3"], k=1.5,
+                                min_outlier_cols=4)
+    return d.select("l_orderkey", "l_linenumber")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -948,6 +1014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_curation_pipeline": _q62_curation_pipeline,
         "q63_glmm_encode": _q63_glmm_encode,
         "q64_gmm_bin": _q64_gmm_bin,
+        "q65_multilabel_ranking": _q65_multilabel_ranking,
+        "q66_nth_largest_cap": _q66_nth_largest_cap,
+        "q67_outlier_row_drop": _q67_outlier_row_drop,
     }
 
 
@@ -1064,7 +1133,21 @@ def oracle_sql() -> dict[str, str]:
                    day(ts) AS c_dayofmonth, weekofyear(ts) AS c_weekofyear,
                    CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN 1 ELSE 0 END AS c_is_weekend,
                    concat(dayofweek(ts) + 1, '_', hour(ts)) AS c_dow_hour,
-                   concat(month(ts), '_', dayofweek(ts) + 1) AS c_month_dow
+                   concat(month(ts), '_', dayofweek(ts) + 1) AS c_month_dow,
+                   ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep',
+                    'Oct','Nov','Dec'][month(ts)] AS c_month_name,
+                   CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                        ELSE 'weekday' END AS c_typeofday,
+                   CASE WHEN month(ts) IN (10, 11, 12) THEN 1 ELSE 0 END AS c_is_festive,
+                   CASE WHEN month(ts) IN (12, 1, 2) THEN 1 ELSE 0 END AS c_is_winter,
+                   CASE WHEN month(ts) IN (6, 7, 8) THEN 1 ELSE 0 END AS c_is_summer,
+                   CASE WHEN month(ts) IN (10, 11, 12, 1, 2, 3) THEN 1 ELSE 0 END AS c_is_cold,
+                   CASE WHEN month(ts) IN (4, 5, 6, 7, 8, 9) THEN 1 ELSE 0 END AS c_is_warm,
+                   ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep',
+                    'Oct','Nov','Dec'][month(ts)] || '_' ||
+                   CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+                        ELSE 'weekday' END AS c_month_typeofday,
+                   2025 - year(ts) AS c_age_in_years
             FROM events
         """,
         "q09_cyclic_fourier": """
@@ -1458,8 +1541,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS c_mktsegment_is_BUILDING,
                    CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS c_mktsegment_is_FURNITURE,
                    CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS c_mktsegment_is_HOUSEHOLD,
-                   CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_is_MACHINERY
-            FROM customer
+                   CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_is_MACHINERY,
+                   CAST(hb AS INT) AS c_mktsegment_hash,
+                   CASE WHEN hb = 0 THEN 1 ELSE 0 END AS c_mktsegment_hash_0,
+                   CASE WHEN hb = 1 THEN 1 ELSE 0 END AS c_mktsegment_hash_1,
+                   CASE WHEN hb = 2 THEN 1 ELSE 0 END AS c_mktsegment_hash_2,
+                   CASE WHEN hb = 3 THEN 1 ELSE 0 END AS c_mktsegment_hash_3
+            FROM (SELECT *,
+                    ('0x' || substr(md5(c_mktsegment), 1, 15))::BIGINT % 4 AS hb
+                  FROM customer)
         """,
         "q39_split_reduce": """
             SELECT l_orderkey, l_linenumber,
@@ -1756,6 +1846,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN s ON e.event_type = s.cat
             CROSS JOIN p2
+        """,
+        # pinned deterministic multi-label selection (model-based; same
+        # pattern as q35) — selection identical at sf0.001 and sf0.01
+        "q65_multilabel_ranking": """
+            SELECT unnest(['hour', 'dow', 'uid_mod', 'event_id']) AS feature
+        """,
+        "q66_nth_largest_cap": """
+            WITH s AS (SELECT max(l_extendedprice) AS mx FROM lineitem),
+            nm AS (SELECT count(*) AS c FROM lineitem, s
+                   WHERE l_extendedprice = s.mx),
+            cap AS (SELECT l_extendedprice AS v FROM lineitem
+                    ORDER BY l_extendedprice DESC
+                    LIMIT 1 OFFSET ((SELECT c FROM nm) + 5 - 1))
+            SELECT l_orderkey, l_linenumber,
+                   round(CASE WHEN l_extendedprice = (SELECT mx FROM s)
+                              THEN (SELECT v FROM cap)
+                              ELSE l_extendedprice END, 6) AS price_capped
+            FROM lineitem
+        """,
+        "q67_outlier_row_drop": """
+            WITH t AS (
+                SELECT l_orderkey, l_linenumber,
+                       exp(l_extendedprice / 20000) AS e0,
+                       exp(l_extendedprice / 15000) AS e1,
+                       exp(l_extendedprice / 12000) AS e2,
+                       exp(l_extendedprice / 10000) AS e3
+                FROM lineitem
+            ),
+            s AS (
+                SELECT quantile_cont(e0, 0.25) AS q1_0, quantile_cont(e0, 0.75) AS q3_0,
+                       quantile_cont(e1, 0.25) AS q1_1, quantile_cont(e1, 0.75) AS q3_1,
+                       quantile_cont(e2, 0.25) AS q1_2, quantile_cont(e2, 0.75) AS q3_2,
+                       quantile_cont(e3, 0.25) AS q1_3, quantile_cont(e3, 0.75) AS q3_3
+                FROM t
+            )
+            SELECT l_orderkey, l_linenumber FROM t, s
+            WHERE (CASE WHEN e0 < q1_0 - 1.5*(q3_0-q1_0) OR e0 > q3_0 + 1.5*(q3_0-q1_0) THEN 1 ELSE 0 END
+                 + CASE WHEN e1 < q1_1 - 1.5*(q3_1-q1_1) OR e1 > q3_1 + 1.5*(q3_1-q1_1) THEN 1 ELSE 0 END
+                 + CASE WHEN e2 < q1_2 - 1.5*(q3_2-q1_2) OR e2 > q3_2 + 1.5*(q3_2-q1_2) THEN 1 ELSE 0 END
+                 + CASE WHEN e3 < q1_3 - 1.5*(q3_3-q1_3) OR e3 > q3_3 + 1.5*(q3_3-q1_3) THEN 1 ELSE 0 END) < 4
         """,
     }
 

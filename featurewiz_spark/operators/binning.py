@@ -60,6 +60,67 @@ def iqr_cap(
     return out, {"low": lo, "high": hi}
 
 
+def nth_largest_cap(
+    df: DataFrame, col: str, cap_at_nth_largest: int = 5
+) -> tuple[DataFrame, dict]:
+    """O3 faithful nth-largest capping (FE_capping_outliers_beyond_IQR_
+    Range, reference featurewiz/featurewiz.py:2076-2085): rows holding
+    the column MAXIMUM are replaced by the value at overall rank
+    (num_max_rows + n) descending — i.e. the n-th largest value below
+    the max (counting duplicates like pandas nlargest). No floor is put
+    under minimums (reference docstring says so explicitly).
+
+    Plan: one agg for (max, num_maxs) + one TakeOrderedAndProject
+    (orderBy desc → limit num_maxs+n, top-k per partition then a
+    driver-side merge of k values — never a full sort) + one scan to
+    rewrite. Scales to any row count for modest n."""
+    mx = df.agg(F.max(col).alias("mx")).first()["mx"]
+    num_maxs = df.filter(F.col(col) == mx).count()
+    topk = (
+        df.select(col)
+        .orderBy(F.desc(col))
+        .limit(num_maxs + cap_at_nth_largest)
+        .agg(F.min(col))
+        .first()[0]
+    )
+    out = df.withColumn(
+        col, F.when(F.col(col) == mx, F.lit(topk)).otherwise(F.col(col))
+    )
+    return out, {"max": mx, "num_maxs": num_maxs, "capped_value": topk}
+
+
+def iqr_outlier_row_drop(
+    df: DataFrame, cols: list[str], k: float = 1.5, min_outlier_cols: int = 4
+) -> tuple[DataFrame, dict]:
+    """B4 multi-column outlier ROW-DROP (reference featurewiz.py:
+    2093-2102, drop=True): a row outside the Q1−k·IQR .. Q3+k·IQR fence
+    in MORE than 3 columns (i.e. ≥ min_outlier_cols=4) is dropped.
+
+    ONE percentile aggregate fits every fence; the drop is a pure
+    filter expression (sum of per-column indicators) — scan-speed at
+    any scale, no shuffle."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"percentile({c}, 0.25)").alias(f"{c}__q1"),
+            F.expr(f"percentile({c}, 0.75)").alias(f"{c}__q3"),
+        ]
+    st = df.agg(*aggs).first().asDict()
+    fences = {}
+    flags = []
+    for c in cols:
+        q1, q3 = st[f"{c}__q1"], st[f"{c}__q3"]
+        iqr = q3 - q1
+        lo, hi = q1 - k * iqr, q3 + k * iqr
+        fences[c] = (lo, hi)
+        flags.append(
+            ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("int")
+        )
+    n_out = sum(flags[1:], flags[0]) if flags else F.lit(0)
+    out = df.filter(n_out < F.lit(min_outlier_cols))
+    return out, {"fences": fences, "min_outlier_cols": min_outlier_cols}
+
+
 def mad_outlier_cap(
     df: DataFrame, col: str, thresh: float = 3.5
 ) -> tuple[DataFrame, dict]:

@@ -217,19 +217,34 @@ def hamming_distance(a, b):
 def jaccard_pairs(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     out_col: str = "jaccard", shingle_k: int | None = None,
+    restrict_to_pairs: bool = True,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard for given candidate pairs (a, b):
     |set_a ∩ set_b| / |set_a ∪ set_b| over distinct tokens, or over
     word k-shingles when `shingle_k` is set (the exact-verify step of a
     MinHash-LSH pipeline measures the SAME shingle sets the signatures
     were built from). Two broadcast-able joins pull the arrays onto the
-    pair rows — cost scales with candidate count, not corpus²."""
+    pair rows — cost scales with candidate count, not corpus².
+
+    restrict_to_pairs (default): semi-join the corpus to the ids that
+    actually appear in `pairs` BEFORE computing token/shingle arrays —
+    the candidate set out of an LSH stage is orders of magnitude
+    smaller than the corpus, so tokenizing every document just to
+    join 0.01% of them is wasted scan work at 100TB."""
     sets = (
         _shingles(text_col, shingle_k)
         if shingle_k is not None
         else F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     )
-    toks = df.select(F.col(id_col), sets.alias("__t"))
+    src = df
+    if restrict_to_pairs:
+        wanted = (
+            pairs.select(F.col("a").alias(id_col))
+            .unionByName(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        src = df.join(wanted, on=id_col, how="leftsemi")
+    toks = src.select(F.col(id_col), sets.alias("__t"))
     j = (
         pairs.join(toks.withColumnRenamed("__t", "__ta"), pairs["a"] == toks[id_col])
         .drop(id_col)

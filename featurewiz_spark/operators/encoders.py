@@ -391,10 +391,30 @@ def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
 
 
 def hashing_encode(df: DataFrame, col: str, n_components: int = 8) -> DataFrame:
-    """E4 HashingEncoder (reference databunch.py:269-270): stable hash
-    bucket — xxhash64 mod k, JVM-side, no fitted state."""
-    return df.withColumn(
-        f"{col}_hash", F.pmod(F.xxhash64(F.col(col)), F.lit(n_components)).cast("int")
+    """E4 HashingEncoder (reference databunch.py:269-270 wraps
+    category_encoders.HashingEncoder, whose default hash_method is md5
+    with an n_components-column one-hot output): bucket = 60-bit md5
+    prefix mod n_components, emitted as the raw bucket id
+    (``{col}_hash``) PLUS n_components indicator columns
+    (``{col}_hash_0..n-1``) — the reference's output shape. All
+    JVM-side expressions, no fitted state; the md5 family is also
+    engine-portable, so an external SQL engine can replay the exact
+    encoding (driver oracle q38). Nulls hash to bucket 0 (the
+    category_encoders convention for missing)."""
+    bucket = F.coalesce(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_components),
+        ),
+        F.lit(0),
+    )
+    out = df.withColumn(f"{col}_hash", bucket.cast("int"))
+    return out.withColumns(
+        {
+            f"{col}_hash_{j}": (bucket == j).cast("int")
+            for j in range(n_components)
+        }
     )
 
 

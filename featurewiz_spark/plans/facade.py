@@ -60,6 +60,14 @@ class FeatureWizSpark:
     skip_sulov: bool = False
     skip_ranking: bool = False
     sulov_mode: str = "pairwise"
+    # EP2 autoencoder extension point (reference featurewiz.py:3426-3501
+    # optionally inserts a DAE/VAE between encoding and SULOV). The
+    # models themselves are out of scope (SURVEY §2.12); this hook is
+    # where one plugs in: a callable DataFrame → DataFrame applied after
+    # engineering/encoding and BEFORE zero-variance/SULOV/ranking, on
+    # both fit_transform and transform (it must be stateless or manage
+    # its own fitted state, like a Spark ML Pipeline model's transform).
+    feature_transformer: Any = None
 
     # fitted state
     features: list[str] = field(default_factory=list)
@@ -74,6 +82,7 @@ class FeatureWizSpark:
     _nan_fills: dict = field(default_factory=dict)
     _dropped_zero_var: list[str] = field(default_factory=list)
     _target: str | None = None
+    _targets: list[str] = field(default_factory=list)
 
     # ------------------------------------------------------------------
     def _engineer(self, df: DataFrame, fit: bool) -> DataFrame:
@@ -115,8 +124,15 @@ class FeatureWizSpark:
         # encoder fits a small mapping table on train; transform replays
         # it with a broadcast join (unseen → neutral default)
         df = self._apply_cat_encoders(df, fit)
-        # label-encode categoricals (E7 sweep)
-        for c in self._cat_vars + cross_cols:
+        # label-encode categoricals (E7 sweep) — including the string
+        # outputs of the W1 calendar expansion (month/day names,
+        # typeofday), which the reference also label-encodes downstream
+        cal_cats = [
+            f"{c}_{s}"
+            for c in self._date_vars
+            for s in ("month_name", "dayofweek_name", "typeofday")
+        ]
+        for c in self._cat_vars + cross_cols + cal_cats:
             if fit:
                 df, mapping = label_encode(df, c)
                 self._label_maps[c] = mapping
@@ -196,10 +212,16 @@ class FeatureWizSpark:
                     raise ValueError(f"unknown category encoder: {enc}")
         return df
 
-    def fit_transform(self, df: DataFrame, target: str) -> DataFrame:
-        self._target = target
-        self.problem_type = analyze_problem_type(df, target)
-        tx = classify_columns(df, target=target)
+    def fit_transform(self, df: DataFrame, target: str | list[str]) -> DataFrame:
+        # multi-label targets (reference featurewiz.py:788-795): every
+        # listed target is excluded from candidates; problem type and
+        # target-aware encoders follow the FIRST target, mirroring the
+        # reference's MultiOutput first-estimator convention (:1408-1417)
+        targets = [target] if isinstance(target, str) else list(target)
+        self._targets = targets
+        self._target = targets[0]
+        self.problem_type = analyze_problem_type(df, targets)
+        tx = classify_columns(df, target=targets)
         self._taxonomy = tx
         self._date_vars = tx.date_vars
         self._cat_vars = tx.cat_vars + tx.string_bool_vars
@@ -208,10 +230,12 @@ class FeatureWizSpark:
         df = df.drop(*drop)
 
         df = self._engineer(df, fit=True)
+        if self.feature_transformer is not None:
+            df = self.feature_transformer(df)
         candidates = [
             f.name
             for f in df.schema.fields
-            if f.name != target
+            if f.name not in targets
             and f.dataType.simpleString()
             in ("int", "bigint", "double", "float", "smallint", "tinyint")
         ]
@@ -221,15 +245,15 @@ class FeatureWizSpark:
         selected = candidates
         if not self.skip_sulov and len(selected) > 1:
             selected = sulov_select(
-                df, selected, target, corr_limit=self.corr_limit,
+                df, selected, targets[0], corr_limit=self.corr_limit,
                 problem_type=self.problem_type, mode=self.sulov_mode,
             )
         if not self.skip_ranking and len(selected) > 1:
             selected = recursive_feature_ranking(
-                df, selected, target, self.problem_type
+                df, selected, targets, self.problem_type
             )
         self.features = selected
-        return df.select(*selected, target)
+        return df.select(*selected, *targets)
 
     def transform(self, df: DataFrame) -> DataFrame:
         if not self.features:
@@ -242,6 +266,8 @@ class FeatureWizSpark:
         )
         df = df.drop(*[c for c in drop if c in df.columns])
         df = self._engineer(df, fit=False)
+        if self.feature_transformer is not None:
+            df = self.feature_transformer(df)
         keep = [c for c in self.features if c in df.columns]
-        extra = [c for c in ([self._target] if self._target in df.columns else [])]
+        extra = [c for c in self._targets if c in df.columns]
         return df.select(*keep, *extra)

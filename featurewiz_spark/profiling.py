@@ -102,7 +102,7 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> dict[str
 
 
 def classify_columns(
-    df: DataFrame, target: str | None = None, cat_limit: int = CAT_LIMIT
+    df: DataFrame, target: str | list[str] | None = None, cat_limit: int = CAT_LIMIT
 ) -> ColumnTaxonomy:
     """Reference classify_columns semantics on Spark profiles
     (featurewiz/classify_method.py:54-319; rules cited per branch).
@@ -112,7 +112,10 @@ def classify_columns(
     construction, and TimestampType is authoritative for dates.
     """
     schema = {f.name: f.dataType for f in df.schema.fields}
-    cols = [c for c in df.columns if c != target]
+    targets = (
+        [] if target is None else [target] if isinstance(target, str) else list(target)
+    )
+    cols = [c for c in df.columns if c not in targets]
     profs = profile_columns(df, cols)
     tx = ColumnTaxonomy()
     for c in cols:
@@ -170,10 +173,15 @@ def classify_columns(
     return tx
 
 
-def analyze_problem_type(df: DataFrame, target: str) -> str:
+def analyze_problem_type(df: DataFrame, target: str | list[str]) -> str:
     """Reference analyze_problem_type (featurewiz/ml_models.py:1750-1814):
     ≤2 uniques → Binary_Classification; int ≤30 / float ≤15 uniques →
-    Multi_Classification; else Regression."""
+    Multi_Classification; else Regression. A target LIST (multi-label,
+    reference featurewiz.py:788-795) is typed by its FIRST column — the
+    same convention the MultiOutput wrapper's first estimator imposes
+    on importances (featurewiz.py:1408-1417)."""
+    if not isinstance(target, str):
+        target = target[0]
     dt = dict(df.dtypes)[target]
     n_unique = df.agg(F.countDistinct(target)).first()[0]
     if n_unique <= 2:

@@ -75,14 +75,24 @@ def _train_importances(
 def recursive_feature_ranking(
     df: DataFrame,
     features: list[str],
-    target: str,
+    target: str | list[str],
     problem_type: str = "Regression",
     sample_rows: int = 10000,
     n_slices: int = 5,
 ) -> list[str]:
-    """Returns the selected feature list (order-preserving union)."""
+    """Returns the selected feature list (order-preserving union).
+
+    `target` may be a LIST of target columns (reference multi-label
+    support, featurewiz.py:788-795): the model is wrapped MultiOutput-
+    style and feature importances are taken from the FIRST estimator
+    (reference featurewiz.py:1408-1417) — so ranking trains on
+    target[0] while every listed target is excluded from the
+    candidates (the caller guarantees `features` excludes them).
+    """
     if not features:
         return []
+    targets = [target] if isinstance(target, str) else list(target)
+    target = targets[0]
     total = df.count()
     n_rounds = 20 if total >= 100_000 else 100  # featurewiz.py:1372-1375
     ncols = len(features)

@@ -185,3 +185,127 @@ def test_jaccard_pairs_shingles(spark):
            for r in jaccard_pairs(docs, pairs, shingle_k=3).collect()}
     assert out[(1, 2)] == 1.0
     assert out[(1, 3)] == 0.0
+
+
+def test_calendar_parity_features(spark):
+    from featurewiz_spark.operators.timefeatures import add_calendar_features
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 12, 7, 15, 30)),   # Saturday, December
+         (2, datetime.datetime(2024, 6, 3, 9, 0))],     # Monday, June
+        "id long, ts timestamp",
+    )
+    out = {r["id"]: r for r in add_calendar_features(
+        df, "ts", prefix="c", ref_year=2025).collect()}
+    dec = out[1]
+    assert (dec["c_month_name"], dec["c_dayofweek_name"]) == ("Dec", "Sat")
+    assert (dec["c_typeofday"], dec["c_is_festive"], dec["c_is_winter"],
+            dec["c_is_cold"], dec["c_is_warm"]) == ("weekend", 1, 1, 1, 0)
+    assert dec["c_month_typeofday"] == "Dec_weekend"
+    assert dec["c_age_in_years"] == 1
+    jun = out[2]
+    assert (jun["c_month_name"], jun["c_dayofweek_name"]) == ("Jun", "Mon")
+    assert (jun["c_typeofday"], jun["c_is_summer"], jun["c_is_warm"],
+            jun["c_is_festive"]) == ("weekday", 1, 1, 0)
+
+
+def test_hashing_encode_n_components(spark):
+    import hashlib
+
+    from featurewiz_spark.operators.encoders import hashing_encode
+
+    df = spark.createDataFrame(
+        [("AUTOMOBILE",), ("BUILDING",), (None,)], "seg string"
+    )
+    out = hashing_encode(df, "seg", n_components=4).collect()
+    for r in out:
+        if r["seg"] is None:
+            assert r["seg_hash"] == 0
+        else:
+            exp = int(hashlib.md5(r["seg"].encode()).hexdigest()[:15], 16) % 4
+            assert r["seg_hash"] == exp
+        # exactly one indicator set, at the bucket position
+        ind = [r[f"seg_hash_{j}"] for j in range(4)]
+        assert sum(ind) == 1 and ind[r["seg_hash"]] == 1
+
+
+def test_fourier_per_id_masks(spark):
+    import math
+
+    from featurewiz_spark.operators.timefeatures import add_fourier_features
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1), "a"),
+         (datetime.datetime(2024, 3, 1), "b")],
+        "ts timestamp, pid string",
+    )
+    out = add_fourier_features(df, "ts", orders=[1], prefix="f",
+                               mask_col="pid").collect()
+    doy = 61  # 2024-03-01
+    expect = math.sin(2 * math.pi * doy / 365.0)
+    for r in out:
+        assert abs(r["f_fourier_sin_1"] - expect) < 1e-12
+        own = r[f"f_fourier_sin_1_{r['pid']}"]
+        other = r["f_fourier_sin_1_b" if r["pid"] == "a" else "f_fourier_sin_1_a"]
+        assert abs(own - expect) < 1e-12 and other == 0.0
+
+
+def test_nth_largest_cap_semantics(spark):
+    from featurewiz_spark.operators.binning import nth_largest_cap
+
+    # values: two rows at max 100; 5th largest below max = 95
+    vals = [100, 100, 99, 98, 97, 96, 95, 50, 10]
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, x double")
+    out, st = nth_largest_cap(df, "x", cap_at_nth_largest=5)
+    got = {r["id"]: r["x"] for r in out.collect()}
+    assert st["num_maxs"] == 2 and st["capped_value"] == 95.0
+    assert got[0] == 95.0 and got[1] == 95.0 and got[2] == 99.0
+
+
+def test_iqr_outlier_row_drop(spark):
+    from featurewiz_spark.operators.binning import iqr_outlier_row_drop
+
+    rows = [(i, float(i % 50), float(i % 50), float(i % 50), float(i % 50))
+            for i in range(1000)]
+    # one extreme row, outlier in all four columns
+    rows.append((9999, 1e9, 1e9, 1e9, 1e9))
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double, d double")
+    out, st = iqr_outlier_row_drop(df, ["a", "b", "c", "d"])
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert 9999 not in ids and len(ids) == 1000
+
+
+def test_facade_multilabel_targets(spark):
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    rows = [(i, i * 0.013, i * 0.007 + 1.0, i * 0.5, i * 0.25 + 2.0)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double, y1 double, y2 double")
+    fw = FeatureWizSpark(skip_sulov=True, skip_ranking=True)
+    out = fw.fit_transform(df, ["y1", "y2"])
+    cols = out.columns
+    assert "y1" in cols and "y2" in cols            # both targets carried
+    assert "f1" in fw.features and "f2" in fw.features
+    assert "y1" not in fw.features and "y2" not in fw.features
+    # transform replays on new data with both targets present
+    rep = fw.transform(df)
+    assert set(rep.columns) == set(cols)
+
+
+def test_facade_feature_transformer_hook(spark):
+    from pyspark.sql import functions as SF
+
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    rows = [(i, i * 0.017, float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, f1 double, y double")
+
+    def add_embedding(d):
+        return d.withColumn("dae_f1", SF.col("f1") * 2.0 + 1.0)
+
+    fw = FeatureWizSpark(skip_sulov=True, skip_ranking=True,
+                         feature_transformer=add_embedding)
+    fw.fit_transform(df, "y")
+    assert "dae_f1" in fw.features
+    assert "dae_f1" in fw.transform(df).columns
