@@ -729,13 +729,19 @@ def _q52_sequential_split(spark, sf):
 
 
 def _q53_stratified_sample(spark, sf):
-    """P10 stratified sub-sample — seeded, deterministic row count per
-    rerun; no SQL oracle (sampling RNG differs across engines)."""
+    """P10 stratified sub-sample, deterministic hash mode: per stratum
+    the floor(frac·n_k) rows with smallest md5(event_id) — the exact
+    SELECTED SET is partition-invariant and the DuckDB oracle re-derives
+    it row-for-row (QUALIFY over the same md5-60 ordering). The
+    reference-parity Bernoulli mode (sampleBy) remains the default and
+    stays pytest-covered — its per-partition RNG is inherently not
+    cross-engine checkable."""
     from featurewiz_spark.operators.sampling import stratified_sample
 
     ev = _t(spark, sf, "events")
-    samp = stratified_sample(ev, "event_type", n_rows=1000, seed=42)
-    return samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    samp = stratified_sample(ev, "event_type", n_rows=1000,
+                             method="hash", hash_col="event_id")
+    return samp.select("event_id", "event_type")
 
 
 def _q54_kmeans_bin(spark, sf):
@@ -768,14 +774,23 @@ def _q55_bucketed_asof(spark, sf):
 
 
 def _q56_ivf_ann(spark, sf):
-    """IVF (k-means cell) ANN top-1 — data-adaptive alternative to LSH
-    bucketing for clustered embedding spaces. No SQL oracle (iterative
-    k-means quantizer); recall vs brute force is pytest-verified."""
+    """IVF (k-means cell) ANN top-1, verified on planted queries (the
+    q46 pattern): a positively-scaled copy shares its source's
+    direction, hence its nearest centroid, hence its home cell — so the
+    probed cell contains the source and IVF top-1 ≡ brute-force top-1
+    for every planted query. The DuckDB oracle brute-forces global
+    top-1 with list_cosine_similarity; general-corpus recall stays
+    pytest-verified (iterative k-means is otherwise un-SQL-able)."""
     from featurewiz_spark.operators.similarity import ivf_topk
 
-    emb = _tp(spark, sf, "embeddings")
-    d = ivf_topk(emb, "vec_id", "embedding", k=1, n_cells=8, sample_rows=4000)
-    return d.select("vec_id", "nn_id", F.round("cos_sim", 5).alias("cos_sim"))
+    emb = _tp(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    d = ivf_topk(aug, "vec_id", "embedding", k=1, n_cells=8, sample_rows=4000)
+    return d.filter(F.col("vec_id") >= 100000).select("vec_id", "nn_id")
 
 
 def _q57_cosine_near_dup(spark, sf):
@@ -948,6 +963,20 @@ def _q67_outlier_row_drop(spark, sf):
     return d.select("l_orderkey", "l_linenumber")
 
 
+def _q68_blocked_topk(spark, sf):
+    """Corpus×corpus EXACT cosine top-1 with no driver collect (block-
+    nested-loop GEMM via cogrouped applyInPandas) — same semantics and
+    same DuckDB brute-force oracle as q29, different physical plan: the
+    100TB path where q29's broadcast-matrix baseline stops scaling."""
+    from featurewiz_spark.operators.similarity import brute_force_topk_blocked
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 200)
+    d = brute_force_topk_blocked(emb, "vec_id", "embedding", k=1, queries=q,
+                                 n_blocks=8, n_query_blocks=2)
+    return d.select("vec_id", "nn_id", F.round("cos_sim", 5).alias("cos_sim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1017,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_multilabel_ranking": _q65_multilabel_ranking,
         "q66_nth_largest_cap": _q66_nth_largest_cap,
         "q67_outlier_row_drop": _q67_outlier_row_drop,
+        "q68_blocked_topk": _q68_blocked_topk,
     }
 
 
@@ -1846,6 +1876,105 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN s ON e.event_type = s.cat
             CROSS JOIN p2
+        """,
+        # same brute-force oracle as q29 — q68 must produce IDENTICAL
+        # results through the blocked distributed plan
+        "q68_blocked_topk": """
+            WITH sims AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS s
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+                WHERE a.vec_id < 200
+            )
+            SELECT vec_id, nn_id, round(CAST(s AS DOUBLE), 5) AS cos_sim
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, nn_id) AS rn FROM sims)
+            WHERE rn = 1
+        """,
+        # deterministic hash-mode stratified sample re-derived row-for-row:
+        # same md5-60 ordering, same keep rule (stratum count > 3), same
+        # all-rows branch when total <= n_rows, same floor(frac·n_k) take
+        "q53_stratified_sample": """
+            WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+            keep AS (SELECT * FROM c WHERE n > 3),
+            tot AS (SELECT sum(n) AS t FROM keep),
+            r AS (
+                SELECT e.event_id, e.event_type,
+                       row_number() OVER (PARTITION BY e.event_type
+                           ORDER BY ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT,
+                                    e.event_id) AS rn,
+                       count(*) OVER (PARTITION BY e.event_type) AS n_k
+                FROM events e JOIN keep k ON e.event_type = k.event_type
+            )
+            SELECT event_id, event_type FROM r, tot
+            WHERE t <= 1000 OR rn <= floor((1000.0 / t) * n_k)
+        """,
+        # planted-query IVF ≡ brute force (see _q56_ivf_ann) — same
+        # exhaustive-scan oracle as q46
+        "q56_ivf_ann": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.001)
+                FROM embeddings WHERE vec_id < 25
+            ),
+            q AS (SELECT * FROM aug WHERE vec_id >= 100000),
+            sims AS (
+                SELECT q.vec_id AS vec_id, c.vec_id AS nn_id,
+                       list_cosine_similarity(q.embedding, c.embedding) AS s
+                FROM q JOIN aug c ON c.vec_id != q.vec_id
+            )
+            SELECT vec_id, nn_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY s DESC, nn_id) AS rn FROM sims)
+            WHERE rn = 1
+        """,
+        # q54/q59/q60/q64 — iterative/model-based algorithms (1-D Lloyd
+        # k-means, greedy variance tree, facade selection, histogram EM)
+        # whose outputs are nonetheless fully DETERMINISTIC (hash-ordered
+        # samples, histogram compression, stable label order): the oracle
+        # pins the expected output per scale factor, branching on the
+        # source table's row count. Cross-run/partitioning determinism is
+        # the property the driver verifies.
+        "q54_kmeans_bin": """
+            SELECT * FROM (VALUES (0, 1475), (1, 1444), (2, 1455), (3, 1626))
+                t(price_kbin, n)
+            WHERE (SELECT count(*) FROM lineitem) = 6000
+            UNION ALL
+            SELECT * FROM (VALUES (0, 15139), (1, 15015), (2, 14844), (3, 15002))
+                t(price_kbin, n)
+            WHERE (SELECT count(*) FROM lineitem) = 60000
+        """,
+        "q59_tree_bin": """
+            SELECT * FROM (VALUES (0, 424), (1, 9), (2, 53), (3, 5514))
+                t(price_tbin, n)
+            WHERE (SELECT count(*) FROM lineitem) = 6000
+            UNION ALL
+            SELECT * FROM (VALUES (0, 56746), (1, 188), (2, 51), (3, 3015))
+                t(price_tbin, n)
+            WHERE (SELECT count(*) FROM lineitem) = 60000
+        """,
+        "q60_facade": """
+            SELECT unnest(['ts_dayofmonth_sin', 'ts_dayofweek',
+                'ts_dayofweek_name_code', 'ts_hour', 'ts_hour_cos',
+                'ts_hour_sin', 'ts_minute', 'ts_weekofyear',
+                'user_id_code']) AS feature
+            WHERE (SELECT count(*) FROM events) = 1000
+            UNION ALL
+            SELECT unnest(['ts_dayofmonth', 'ts_dayofmonth_cos',
+                'ts_dayofweek_cos', 'ts_dayofweek_name_code',
+                'ts_dayofweek_sin', 'ts_hour', 'ts_hour_cos',
+                'ts_hour_sin', 'ts_minute', 'user_id']) AS feature
+            WHERE (SELECT count(*) FROM events) = 10000
+        """,
+        "q64_gmm_bin": """
+            SELECT * FROM (VALUES (0, 691), (1, 1501), (2, 2408), (3, 1400))
+                t(price_gbin, n)
+            WHERE (SELECT count(*) FROM lineitem) = 6000
+            UNION ALL
+            SELECT * FROM (VALUES (0, 9096), (1, 23109), (2, 20208), (3, 7587))
+                t(price_gbin, n)
+            WHERE (SELECT count(*) FROM lineitem) = 60000
         """,
         # pinned deterministic multi-label selection (model-based; same
         # pattern as q35) — selection identical at sf0.001 and sf0.01

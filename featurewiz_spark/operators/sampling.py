@@ -72,21 +72,48 @@ def split_n_ways(
 
 def stratified_sample(
     df: DataFrame, strata_col: str, n_rows: int, seed: int = 42,
-    min_class_rows: int = 3,
+    min_class_rows: int = 3, method: str = "bernoulli",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """P10 EDA_randomly_select_rows_from_dataframe (reference
     featurewiz/featurewiz.py:2842-2870): drop classes with ≤ min_class_rows
     rows, then sample each remaining class at the global fraction
-    n_rows/N (sampleBy — one pass, no collect of data rows)."""
+    n_rows/N.
+
+    method="bernoulli" (reference parity): `sampleBy` — one pass, no
+    data collect, but Spark's per-row RNG folds in the partition index,
+    so the SELECTED SET (not just its size) changes with partitioning.
+    method="hash" (scale/reproducibility path): per stratum take the
+    floor(frac·n_k) rows with the smallest md5(hash_col) — fully
+    deterministic across runs, partitionings, and cluster sizes, and
+    re-derivable by any SQL engine (driver oracle q53). Requires
+    `hash_col` (a unique row id)."""
     counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
     keep = {k: v for k, v in counts.items() if v > min_class_rows}
     total = sum(keep.values())
     if total <= n_rows:
         return df.filter(F.col(strata_col).isin(list(keep)))
     frac = n_rows / total
-    fractions = {k: min(1.0, frac) for k in keep}
-    return df.filter(F.col(strata_col).isin(list(keep))).sampleBy(
-        strata_col, fractions=fractions, seed=seed
+    kept = df.filter(F.col(strata_col).isin(list(keep)))
+    if method == "bernoulli":
+        fractions = {k: min(1.0, frac) for k in keep}
+        return kept.sampleBy(strata_col, fractions=fractions, seed=seed)
+    if method != "hash":
+        raise ValueError(method)
+    if hash_col is None:
+        raise ValueError("method='hash' requires hash_col (a unique row id)")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(hash_col))
+    cnt_w = Window.partitionBy(strata_col)
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("__rn") <= F.floor(F.lit(frac) * F.col("__n")))
+        .drop("__rn", "__n")
     )
 
 

@@ -309,3 +309,40 @@ def test_facade_feature_transformer_hook(spark):
     fw.fit_transform(df, "y")
     assert "dae_f1" in fw.features
     assert "dae_f1" in fw.transform(df).columns
+
+
+def test_blocked_topk_equals_broadcast_topk(spark):
+    # the distributed block-GEMM path must reproduce the broadcast
+    # baseline EXACTLY (same ids, same sims, same tie-breaks)
+    import random
+
+    from featurewiz_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blocked,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, brute_force_topk(df, k=3).collect()))
+    b = sorted(map(tuple, brute_force_topk_blocked(
+        df, k=3, n_blocks=7, n_query_blocks=3).collect()))
+    assert len(a) == len(b) == 400 * 3
+    for (ida, nna, ra, sa), (idb, nnb, rb, sb) in zip(a, b):
+        assert (ida, nna, ra) == (idb, nnb, rb)
+        assert abs(sa - sb) < 1e-9
+
+
+def test_hash_stratified_sample_partition_invariant(spark):
+    from featurewiz_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    sets = []
+    for k in (1, 8, 32):
+        samp = stratified_sample(df.repartition(k), "s", n_rows=400,
+                                 method="hash", hash_col="id")
+        sets.append(sorted(r["id"] for r in samp.collect()))
+    assert sets[0] == sets[1] == sets[2]
+    # floor(0.1 * 1000) per stratum
+    assert len(sets[0]) == 400

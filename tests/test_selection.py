@@ -199,6 +199,6 @@ def test_spearman_approx_matches_exact(spark, corr_pdf):
     pdf["xt"] = np.round(pdf["x1"], 0)  # heavy ties (~10 distinct values)
     df = spark.createDataFrame(pdf)
     cols = ["x1", "x2", "x3", "xt", "noise"]
-    exact = correlation_matrix(df, cols, method="spearman")
-    approx = correlation_matrix(df, cols, method="spearman_approx")
+    exact = correlation_matrix(df, cols, method="spearman_exact")
+    approx = correlation_matrix(df, cols, method="spearman")
     assert np.allclose(approx.to_numpy(), exact.to_numpy(), atol=0.015)
