@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--no-extract", action="store_true", help="skip html→text extraction")
     ap.add_argument("--resume-dir", default=None, help="lineage/checkpoint dir for resumable runs")
     ap.add_argument("--buckets", type=int, default=256, help="lineage bucket count")
+    ap.add_argument("--table-format", default="parquet",
+                    choices=("parquet", "iceberg", "delta"),
+                    help="input/output table format; iceberg/delta need "
+                         "their catalog/jars configured on the cluster")
     args = ap.parse_args()
 
     # imports AFTER arg parsing so --help works without the zip
@@ -43,13 +47,17 @@ def main() -> None:
 
     from featurewiz_spark.plans.lineage import run_resumable
     from featurewiz_spark.plans.pipeline import pages_feature_pipeline
+    from featurewiz_spark.sources.table_io import read_table, write_table
 
     spark = SparkSession.builder.appName("pages_feature_pipeline").getOrCreate()
-    pages = spark.read.parquet(args.input)
-    snapshots = spark.read.parquet(args.snapshots) if args.snapshots else None
+    pages = read_table(spark, args.input, args.table_format)
+    snapshots = (
+        read_table(spark, args.snapshots, args.table_format)
+        if args.snapshots else None
+    )
 
     if args.resume_dir:
-        run_resumable(
+        out = run_resumable(
             spark,
             pages,
             lambda df: pages_feature_pipeline(
@@ -60,13 +68,14 @@ def main() -> None:
             stage="pages_features",
             keys=["url"],
             n_buckets=args.buckets,
-        ).write.mode("overwrite").parquet(args.output)
+        )
+        write_table(out, args.output, args.table_format)
     else:
         out = pages_feature_pipeline(
             pages, snapshots=snapshots, gap=args.gap,
             tolerance=args.tolerance, extract=not args.no_extract,
         )
-        out.write.mode("overwrite").parquet(args.output)
+        write_table(out, args.output, args.table_format)
     spark.stop()
 
 

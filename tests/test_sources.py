@@ -63,3 +63,32 @@ def test_read_xlsx_gated(spark, tmp_path):
         pass
     with pytest.raises(NotImplementedError, match="openpyxl"):
         read_any(spark, p)
+
+
+def test_table_io_parquet_roundtrip(spark, tmp_path):
+    from featurewiz_spark.sources.table_io import read_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    p = str(tmp_path / "t")
+    write_table(df, p, table_format="parquet")
+    back = read_table(spark, p, table_format="parquet")
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_table_io_iceberg_gate_and_ddl(spark):
+    import pytest as _pytest
+
+    from featurewiz_spark.sources.table_io import (
+        dedup_merge_sql,
+        pages_table_ddl,
+        read_table,
+    )
+
+    # no Iceberg catalog in this sandbox → explicit, named failure
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        read_table(spark, "lake.web.pages", table_format="iceberg")
+    ddl = pages_table_ddl()
+    assert "days(warc_ts)" in ddl and "bucket(1024, url)" in ddl
+    assert "USING iceberg" in ddl
+    merge = dedup_merge_sql("lake.web.pages_dedup", "new_batch")
+    assert merge.startswith("MERGE INTO") and "WHEN NOT MATCHED" in merge
