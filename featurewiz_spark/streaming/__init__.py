@@ -1,5 +1,6 @@
 from featurewiz_spark.streaming.stream_features import (
     stream_asof_enrich,
+    stream_exact_dedup,
     stream_calendar_features,
     stream_sessionize,
     stream_windowed_agg,
@@ -10,4 +11,5 @@ __all__ = [
     "stream_windowed_agg",
     "stream_calendar_features",
     "stream_asof_enrich",
+    "stream_exact_dedup",
 ]

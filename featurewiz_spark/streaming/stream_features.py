@@ -89,6 +89,33 @@ def stream_calendar_features(events: DataFrame, ts: str) -> DataFrame:
     return add_calendar_features(events, ts, crosses=False)
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup for continuous training-data ingest: emit
+    each document whose (normalized) content hash has not been seen
+    within the watermark horizon — `dropDuplicatesWithinWatermark` keys
+    state on the md5 content hash, and Spark evicts hash state once the
+    watermark passes, so state is bounded by the dedup horizon instead
+    of growing with the corpus (the batch `exact_dedup` handles
+    full-corpus history; this op handles the firehose in front of it).
+    On a batch DataFrame it degrades to a plain dropDuplicates on the
+    same hash — same emitted set, no state."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+    hashed = docs.withColumn("content_hash", F.md5(t))
+    if not hashed.isStreaming:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def stream_asof_enrich(
     events: DataFrame,
     key: str,

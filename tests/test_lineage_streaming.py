@@ -310,3 +310,59 @@ def test_stream_asof_enrich_state_across_batches(spark, tmp_path):
     assert got[(1, "2024-01-01 10:20:00")] == 2.0        # carried via state
     assert got[(2, "2024-01-01 10:25:00")] == 7.0        # per-key isolation
     assert got[(3, "2024-01-01 10:30:00")] is None       # unseen key
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """Streaming dedup keyed on content hash: a duplicate arriving in a
+    LATER micro-batch (within the watermark horizon) must be dropped;
+    whitespace/case variants of the same text share a hash. Batch-mode
+    degradation keeps the same emitted set via plain dropDuplicates."""
+    import time as _time
+
+    from featurewiz_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    batches = [
+        [(1, "2024-01-01 10:00", "hello   world"),
+         (2, "2024-01-01 10:01", "fresh content one")],
+        [(3, "2024-01-01 10:10", "Hello world"),       # dup of doc 1 (norm)
+         (4, "2024-01-01 10:11", "fresh content two")],
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        p = os.path.join(src, f"b{i}")
+        spark.createDataFrame(
+            [(d, ts, t) for d, ts, t in b],
+            "doc_id bigint, ts_s string, text string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.parquet(p)
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    dd = stream_exact_dedup(stream, "text", "ts", watermark="1 hour")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("select * from dedup_stream").collect()
+    )
+    assert kept == [1, 2, 4]  # doc 3 deduped against batch-1 state
+
+    # batch-mode degradation: same distinct content set
+    batch_df = spark.createDataFrame(
+        [(1, "hello   world"), (3, "Hello world"), (4, "fresh content two")],
+        "doc_id bigint, text string",
+    )
+    out = stream_exact_dedup(batch_df, "text", "ts")
+    assert out.select("content_hash").distinct().count() == out.count() == 2
