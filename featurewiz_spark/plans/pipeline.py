@@ -137,3 +137,46 @@ def events_feature_pipeline(events: DataFrame, gap: str = "30 minutes") -> DataF
         suffix="_asof",
     )
     return df
+
+
+def featurewiz(
+    spark,
+    data,
+    target,
+    corr_limit: float = 0.70,
+    feature_engg: str | list[str] | None = None,
+    category_encoders: str | list[str] | None = None,
+    **facade_kwargs,
+):
+    """F4 one-call functional API — the reference's ``featurewiz(dataname,
+    target, ...)`` entry point (reference featurewiz/featurewiz.py:286-420):
+    accepts a PATH (csv/parquet/feather/json, routed through the S1
+    encoding-aware reader) or an existing DataFrame, runs the full facade
+    (classify → engineer → encode → SULOV → recursive ranking), and
+    returns ``(features, transformed_df)`` exactly like the reference's
+    ``(features, trainm)`` pair. `target` may be a list (multi-label).
+
+    The functional default corr_limit is 0.70 (featurewiz.py:389); the
+    class API keeps 0.90. String args for feature_engg /
+    category_encoders are accepted like the reference (single name or
+    comma-separated).
+    """
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+    from featurewiz_spark.sources.readers import read_any
+
+    def _as_list(v):
+        if v is None:
+            return []
+        if isinstance(v, str):
+            return [s.strip() for s in v.split(",") if s.strip()]
+        return list(v)
+
+    df = data if isinstance(data, DataFrame) else read_any(spark, data)
+    fw = FeatureWizSpark(
+        corr_limit=corr_limit,
+        feature_engg=_as_list(feature_engg),
+        category_encoders=_as_list(category_encoders),
+        **facade_kwargs,
+    )
+    out = fw.fit_transform(df, target)
+    return fw.features, out

@@ -346,3 +346,25 @@ def test_hash_stratified_sample_partition_invariant(spark):
     assert sets[0] == sets[1] == sets[2]
     # floor(0.1 * 1000) per stratum
     assert len(sets[0]) == 400
+
+
+def test_functional_api_path_and_df(spark, tmp_path):
+    # F4 one-call orchestration: path input (csv) and DataFrame input
+    # both run classify -> engineer -> select and return (features, df)
+    from featurewiz_spark.plans.pipeline import featurewiz
+
+    rows = [(i, i * 0.013, i * 0.007 + 1.0, i * 0.5) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double, y double")
+    p = str(tmp_path / "train.csv")
+    df.toPandas().to_csv(p, index=False)
+
+    feats_path, out_path = featurewiz(
+        spark, p, "y", skip_sulov=True, skip_ranking=True
+    )
+    feats_df, out_df = featurewiz(
+        spark, df, "y", skip_sulov=True, skip_ranking=True
+    )
+    assert feats_path == feats_df
+    assert "f1" in feats_df and "f2" in feats_df
+    assert "y" in out_df.columns and out_df.count() == 400
+    assert out_path.count() == 400
