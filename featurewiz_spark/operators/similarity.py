@@ -104,6 +104,41 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """int8 scalar quantization of an embedding column: per-vector
+    max-abs scale, codes in [-127, 127] stored as array<tinyint> plus a
+    float scale column — a 4× (vs float32) / 8× (vs float64) reduction
+    in the bytes every ANN shuffle, broadcast, and state table moves at
+    corpus scale. Pure JVM array transforms, no UDF.
+
+    Cosine similarity is scale-invariant, so ANN over dequantized codes
+    differs from exact only by the ~1/254 rounding granularity —
+    top-1 recall on separable corpora is unaffected (pytest-measured);
+    store the fp vectors cold and re-rank the final candidate list
+    against them when exact scores matter."""
+    out_col = out_col or f"{vec_col}_q8"
+    scale = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))),
+        F.lit(1e-12),
+    )
+    df = df.withColumn(f"{out_col}_scale", scale.cast("float"))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x / F.col(f"{out_col}_scale") * 127).cast("tinyint"),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def dequantize_expr(q_col: str, scale_col: str):
+    """Column expression rebuilding an approximate float vector from
+    int8 codes (for feeding the existing ANN/top-k kernels)."""
+    return F.transform(
+        F.col(q_col), lambda c: c.cast("double") * F.col(scale_col) / 127.0
+    )
+
+
 def brute_force_topk_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -368,3 +368,35 @@ def test_functional_api_path_and_df(spark, tmp_path):
     assert "f1" in feats_df and "f2" in feats_df
     assert "y" in out_df.columns and out_df.count() == 400
     assert out_path.count() == 400
+
+
+def test_int8_quantized_ann_recall(spark):
+    import random
+
+    from featurewiz_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(300)]
+    # plant exact near-dups so true top-1 is unambiguous for 50 queries
+    rows += [(1000 + i, [x * 1.001 for x in rows[i][1]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    qdf = quantize_embeddings(df)
+    # codes really are int8
+    assert qdf.schema["embedding_q8"].dataType.simpleString() == "array<tinyint>"
+    deq = qdf.withColumn("embedding", dequantize_expr("embedding_q8", "embedding_q8_scale"))
+
+    exact = {r["vec_id"]: r["nn_id"]
+             for r in brute_force_topk(df, k=1).collect() if r["vec_id"] >= 1000}
+    approx = {r["vec_id"]: r["nn_id"]
+              for r in brute_force_topk(deq.select("vec_id", "embedding"), k=1).collect()
+              if r["vec_id"] >= 1000}
+    # planted queries: quantization noise (~1/254) cannot flip a
+    # cos≈1.0 vs cos≤0.8 margin — recall must be exact
+    assert exact == approx
+    for q, nn in approx.items():
+        assert nn == q - 1000
