@@ -151,11 +151,12 @@ def target_encode(
 
 
 def glmm_encode(
-    df: DataFrame, col: str, target: str
+    df: DataFrame, col: str, target: str, family: str = "gaussian"
 ) -> tuple[DataFrame, DataFrame]:
     """A7/E5 GLMMEncoder (reference registry settings.py:24-31 /
     databunch.py:34; category_encoders.glmm fits a random-intercept
-    model per category). Gaussian-target form re-derived as distributed
+    model per category — gaussian for regression targets,
+    binomial_target=True for classification). Re-derived as distributed
     aggregates: the random-intercept posterior mean with method-of-
     moments (one-way random-effects ANOVA) variance estimates,
 
@@ -165,7 +166,37 @@ def glmm_encode(
     (clipped at 0). Unlike the fixed-smoothing target_encode, the
     shrinkage strength is LEARNED from the data's own variance
     decomposition — categories in noisy targets shrink harder. One
-    aggregate pass + broadcast join; unseen/degenerate → grand mean."""
+    aggregate pass + broadcast join; unseen/degenerate → grand mean
+    (0.0 on the logit scale for binomial — the global log-odds offset
+    is carried by the intercept, matching category_encoders' convention
+    of emitting the random EFFECT, not the fitted probability).
+
+    family="binomial": the 0/1 target is mapped through the one-step
+    working-response approximation of the logistic mixed model (a
+    single IRLS step from the null model — the same linearization
+    statsmodels' variational fit iterates): z = logit(gm) +
+    (y − gm)/(gm(1−gm)), then the gaussian MoM machinery above runs on
+    z and the encoding is the shrunken random intercept on the LOGIT
+    scale. Deterministic, one pass, no driver-side iteration."""
+    if family == "binomial":
+        stats0 = df.agg(F.avg(F.col(target).cast("double")).alias("p")).first()
+        p = min(max(float(stats0["p"]), 1e-6), 1 - 1e-6)
+        import math as _math
+
+        z0 = _math.log(p / (1 - p))
+        work = F.lit(z0) + (F.col(target).cast("double") - F.lit(p)) / F.lit(
+            p * (1 - p)
+        )
+        df = df.withColumn("__glmm_z", work)
+        out, enc = glmm_encode(df, col, "__glmm_z", family="gaussian")
+        out = out.drop("__glmm_z")
+        # emit the random EFFECT (deviation from the global log-odds):
+        # category_encoders' GLMM output convention; unseen → 0.0
+        out = out.withColumn(f"{col}_glmm", F.col(f"{col}_glmm") - F.lit(z0))
+        enc = enc.withColumn(f"{col}_glmm", F.col(f"{col}_glmm") - F.lit(z0))
+        return out, enc
+    if family != "gaussian":
+        raise ValueError(family)
     big = df.agg(
         F.avg(target).alias("gm"),
         F.count(target).alias("n"),

@@ -204,7 +204,14 @@ class FeatureWizSpark:
                         df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
                 elif enc == "glmm":
                     if fit:
-                        df, tbl = glmm_encode(df, c, self._target)
+                        # reference: GLMMEncoder(binomial_target=True) for
+                        # classification targets (logit-scale random effect)
+                        fam = (
+                            "binomial"
+                            if (self.problem_type or "").endswith("Classification")
+                            else "gaussian"
+                        )
+                        df, tbl = glmm_encode(df, c, self._target, family=fam)
                         self._cat_enc_state[key] = tbl
                     else:
                         df = self._replay_mapping(df, c, self._cat_enc_state[key], None)

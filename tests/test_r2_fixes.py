@@ -400,3 +400,27 @@ def test_int8_quantized_ann_recall(spark):
     assert exact == approx
     for q, nn in approx.items():
         assert nn == q - 1000
+
+
+def test_glmm_binomial_effect_properties(spark):
+    # logit-scale random effects: sign tracks the category's rate vs the
+    # global rate; a small category shrinks harder than a large one at
+    # the same empirical rate; gaussian path is unchanged.
+    import random
+
+    from featurewiz_spark.operators.encoders import glmm_encode
+
+    rng = random.Random(13)
+    rows = []
+    # cat 'hi' (big, 80% positive), 'lo' (big, 20%), 'hi_small' (10 rows, 80%)
+    for i in range(1000):
+        rows.append(("hi", 1.0 if rng.random() < 0.8 else 0.0))
+        rows.append(("lo", 1.0 if rng.random() < 0.2 else 0.0))
+    for i in range(10):
+        rows.append(("hi_small", 1.0 if i < 8 else 0.0))
+    df = spark.createDataFrame(rows, "c string, y double")
+    _, enc = glmm_encode(df, "c", "y", family="binomial")
+    eff = dict(enc.collect())
+    assert eff["hi"] > 0 > eff["lo"]
+    # same direction, but the 10-row category shrinks toward 0 harder
+    assert 0 < eff["hi_small"] < eff["hi"]
