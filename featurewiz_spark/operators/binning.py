@@ -90,7 +90,8 @@ def nth_largest_cap(
 
 
 def iqr_outlier_row_drop(
-    df: DataFrame, cols: list[str], k: float = 1.5, min_outlier_cols: int = 4
+    df: DataFrame, cols: list[str], k: float = 1.5, min_outlier_cols: int = 4,
+    percentile_mode: str = "exact",
 ) -> tuple[DataFrame, dict]:
     """B4 multi-column outlier ROW-DROP (reference featurewiz.py:
     2093-2102, drop=True): a row outside the Q1−k·IQR .. Q3+k·IQR fence
@@ -98,12 +99,17 @@ def iqr_outlier_row_drop(
 
     ONE percentile aggregate fits every fence; the drop is a pure
     filter expression (sum of per-column indicators) — scan-speed at
-    any scale, no shuffle."""
+    any scale, no shuffle. percentile_mode="exact" (oracle parity;
+    ObjectHashAggregate, no codegen) or "approx" (percentile_approx —
+    the 100TB default, same q01-median tradeoff documented in
+    BENCH/PLAN_AUDIT.md; fences move by at most the sketch error,
+    which IQR-fence semantics tolerate by design)."""
+    fn = "percentile" if percentile_mode == "exact" else "percentile_approx"
     aggs = []
     for c in cols:
         aggs += [
-            F.expr(f"percentile({c}, 0.25)").alias(f"{c}__q1"),
-            F.expr(f"percentile({c}, 0.75)").alias(f"{c}__q3"),
+            F.expr(f"{fn}({c}, 0.25)").alias(f"{c}__q1"),
+            F.expr(f"{fn}({c}, 0.75)").alias(f"{c}__q3"),
         ]
     st = df.agg(*aggs).first().asDict()
     fences = {}

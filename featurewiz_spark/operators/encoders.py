@@ -421,7 +421,9 @@ def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
     return out, categories
 
 
-def hashing_encode(df: DataFrame, col: str, n_components: int = 8) -> DataFrame:
+def hashing_encode(
+    df: DataFrame, col: str, n_components: int = 8, method: str = "md5"
+) -> DataFrame:
     """E4 HashingEncoder (reference databunch.py:269-270 wraps
     category_encoders.HashingEncoder, whose default hash_method is md5
     with an n_components-column one-hot output): bucket = 60-bit md5
@@ -431,15 +433,18 @@ def hashing_encode(df: DataFrame, col: str, n_components: int = 8) -> DataFrame:
     JVM-side expressions, no fitted state; the md5 family is also
     engine-portable, so an external SQL engine can replay the exact
     encoding (driver oracle q38). Nulls hash to bucket 0 (the
-    category_encoders convention for missing)."""
-    bucket = F.coalesce(
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(n_components),
-        ),
-        F.lit(0),
-    )
+    category_encoders convention for missing). method="xxhash64" trades
+    that portability for a cheaper single hash op (no hex substring) —
+    same output shape, different (still deterministic) buckets."""
+    if method == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    elif method == "xxhash64":
+        h = F.xxhash64(F.col(col))
+    else:
+        raise ValueError(method)
+    bucket = F.coalesce(F.pmod(h, F.lit(n_components)), F.lit(0))
     out = df.withColumn(f"{col}_hash", bucket.cast("int"))
     return out.withColumns(
         {
