@@ -424,3 +424,33 @@ def test_glmm_binomial_effect_properties(spark):
     assert eff["hi"] > 0 > eff["lo"]
     # same direction, but the 10-row category shrinks toward 0 harder
     assert 0 < eff["hi_small"] < eff["hi"]
+
+
+def test_facade_calendar_string_replay(spark):
+    # date vars expand to string calendar features (month/day names,
+    # typeofday) which the facade label-encodes on fit and must REPLAY
+    # (same fitted mapping, unseen policy) on transform
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    rows = [
+        (i,
+         datetime.datetime(2024, 1 + (i % 12), 1 + (i % 28), i % 24),
+         i * 0.017,
+         float(i % 100))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, f1 double, y double")
+    train = df.filter(F.col("id") < 450)
+    test = df.filter(F.col("id") >= 450)
+    fw = FeatureWizSpark(skip_sulov=True, skip_ranking=True)
+    out = fw.fit_transform(train, "y")
+    assert any(c.startswith("ts_month_name") for c in fw._label_maps), fw._label_maps.keys()
+    rep = fw.transform(test)
+    assert [c for c in rep.columns if c != "y"] == fw.features
+    # replayed codes must agree with the fitted mapping for seen months
+    code_col = "ts_month_name_code"
+    if code_col in rep.columns:
+        mapping = dict(fw._label_maps["ts_month_name"].collect())
+        got = rep.select("ts_month_name_code").distinct().count()
+        assert got <= len(mapping) + 1  # seen codes (+possible unseen block)
+    assert rep.count() == 150
