@@ -166,18 +166,36 @@ def brute_force_topk_blocked(
     the two dials so a cell's two matrices fit an executor; compute is
     the same |Q|·|C| dot products regardless (it is exact search — use
     the IVF/LSH operators when approximate recall is acceptable).
+
+    CAUTION — nondeterministic inputs: `queries` is consumed across
+    multiple stages (block replication + cogroup). A nondeterministic
+    source (`df.limit(n)` without persist, seedless sample) can be
+    RE-EXECUTED with a different row selection per stage, silently
+    losing/duplicating queries (measured: unpersisted limit(2000) →
+    1495 result rows). Persist such inputs first, or derive queries
+    with a deterministic filter.
     """
     spark = df.sparkSession
     B = n_blocks or spark.sparkContext.defaultParallelism
     QB = max(1, n_query_blocks)
+    # CAST BOTH KEYS TO int ON BOTH SIDES: pmod(xxhash64) is bigint while
+    # explode(sequence) is int, and cogroup hash-partitions each side on
+    # its own RAW key types — a (bigint, int) left against an (int,
+    # bigint) right sends equal-valued keys to different shuffle
+    # partitions, silently splitting pairs into two half-empty calls
+    # (measured: 237 calls for a 128-cell grid, 25% of queries lost).
     corpus = (
         df.select(id_col, vec_col)
-        .withColumn("__cblk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)))
+        .withColumn(
+            "__cblk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+        )
         .withColumn("__qblk", F.explode(F.sequence(F.lit(0), F.lit(QB - 1))))
     )
     q = (queries if queries is not None else df).select(id_col, vec_col)
     qx = (
-        q.withColumn("__qblk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(QB)))
+        q.withColumn(
+            "__qblk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(QB)).cast("int")
+        )
         .withColumn("__cblk", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
     )
     schema = T.StructType(
@@ -339,6 +357,7 @@ def ivf_topk(
     sample_rows: int = 10000,
     seed: int = 42,
     n_probe: int = 1,
+    quantize_shuffle: bool = False,
 ) -> DataFrame:
     """IVF ANN: k-means cells (coarse quantizer) + within-cell brute
     force. Same output schema as brute_force_topk/ann_topk_lsh. Cell
@@ -351,17 +370,30 @@ def ivf_topk(
     standard IVF accuracy/cost dial. Cost: the per-cell matmul sees
     ~n_probe× more query rows, plus one re-rank shuffle on id to merge
     per-cell top-k lists; n_probe=1 keeps the original single-shuffle
-    plan."""
+    plan.
+
+    ``quantize_shuffle=True`` ships UNIT-normalized int8 codes through
+    the expand→cell shuffle (the heaviest data movement in this plan:
+    every vector moves n_probe+1 times) instead of float vectors — a
+    4-8× byte reduction. Cosine is scale-invariant and the per-cell
+    kernel renormalizes, so the only effect is ≤~1/127-per-component
+    rounding in the scores; neighbor identity on separable corpora is
+    unchanged (pytest) but `cos_sim` becomes approximate — re-rank
+    winners against the fp vectors when exact scores matter."""
     C = ivf_centroids(df, vec_col, n_cells, sample_rows, seed=seed)
     n_probe = max(1, min(n_probe, len(C)))
     spark = df.sparkSession
     b_c = spark.sparkContext.broadcast(C)
 
+    shuffled_type = (
+        T.ArrayType(T.ByteType()) if quantize_shuffle
+        else df.schema[vec_col].dataType
+    )
     probe_schema = T.StructType(
         [
             T.StructField("ivf_cell", T.IntegerType()),
             T.StructField(id_col, T.LongType()),
-            T.StructField(vec_col, df.schema[vec_col].dataType),
+            T.StructField(vec_col, shuffled_type),
             T.StructField("is_cand", T.BooleanType()),
         ]
     )
@@ -374,12 +406,17 @@ def ivf_topk(
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             order = np.argsort(-(Xn @ Cm.T), axis=1)[:, :n_probe]
+            if quantize_shuffle:
+                q8 = np.clip(np.round(Xn * 127), -127, 127).astype(np.int8)
+                ship = list(q8)
+            else:
+                ship = pdf[vec_col].to_numpy()
             for p in range(n_probe):
                 yield pd.DataFrame(
                     {
                         "ivf_cell": order[:, p].astype("int32"),
                         id_col: pdf[id_col].to_numpy(),
-                        vec_col: pdf[vec_col].to_numpy(),
+                        vec_col: ship,
                         "is_cand": p == 0,  # home cell: candidate AND query
                     }
                 )

@@ -454,3 +454,52 @@ def test_facade_calendar_string_replay(spark):
         got = rep.select("ts_month_name_code").distinct().count()
         assert got <= len(mapping) + 1  # seen codes (+possible unseen block)
     assert rep.count() == 150
+
+
+def test_ivf_quantized_shuffle_same_neighbors(spark):
+    import random
+
+    from featurewiz_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(21)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(24)]) for i in range(300)]
+    rows += [(1000 + i, [x * 1.001 for x in rows[i][1]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fp = {r["vec_id"]: r["nn_id"]
+          for r in ivf_topk(df, k=1, n_cells=6, sample_rows=400).collect()
+          if r["vec_id"] >= 1000}
+    q8 = {r["vec_id"]: r["nn_id"]
+          for r in ivf_topk(df, k=1, n_cells=6, sample_rows=400,
+                            quantize_shuffle=True).collect()
+          if r["vec_id"] >= 1000}
+    assert fp == q8  # int8 shuffle must not change neighbor identity
+    assert all(nn == q - 1000 for q, nn in q8.items())
+
+
+def test_blocked_topk_no_query_loss_at_scale(spark):
+    # regression: mismatched cogroup key TYPES ((bigint,int) left vs
+    # (int,bigint) right) hash-partitioned the two sides differently and
+    # silently split ~25% of grid cells into half-empty calls at 50k
+    # rows / 32 blocks — every query must produce exactly one k=1 row
+    import numpy as np
+
+    from pyspark.sql import functions as SF
+
+    from featurewiz_spark.operators.similarity import brute_force_topk_blocked
+
+    rng = np.random.default_rng(17)
+    M = rng.standard_normal((50_000, 16)).astype("float32")
+    df = (
+        spark.createDataFrame(
+            [(i, M[i].tolist()) for i in range(50_000)],
+            "vec_id long, embedding array<float>",
+        )
+        .repartition(32)
+        .persist()
+    )
+    q = df.filter(SF.col("vec_id") < 2000)
+    out = brute_force_topk_blocked(df, k=1, queries=q, n_blocks=32,
+                                   n_query_blocks=4)
+    assert out.select("vec_id").distinct().count() == 2000
+    assert out.count() == 2000
+    df.unpersist()
