@@ -85,10 +85,20 @@ def run_pages_worker(cores: int, path: str) -> None:
     has 32 files (parallel scan at every level — no repartition shuffle
     needed); shuffle partitions = 4×cores to smooth stragglers. The
     pipeline is JVM-only (no Python workers) so the run is compute-bound
-    and comparable across parallelism levels. One warm-up run (JIT +
-    codegen + shuffle dirs), then min of 2 timed runs — min because the
-    sandbox host has noisy neighbors that contaminate the max, and the
-    min is the closest observation to the uncontended cost."""
+    and comparable across parallelism levels.
+
+    Sampling runs to CONVERGENCE, not a fixed count: the r2 driver's
+    local[2] samples were still strictly descending at the 4th and last
+    iteration (26.7→19.8→18.1→14.7s — C2 JIT warm-up takes several runs
+    at low thread counts), so the recorded min was an upper bound on T_N
+    and the efficiency gate read 0.74 despite steady-state ~0.95. Now:
+    one untimed warm-up, then keep timing until the running min fails to
+    improve (>1%) on two consecutive CLEAN samples (contention probe
+    within 1.35x of the best probe), with ≥3 clean samples required and
+    hard caps of 14 timed runs / 600s sampling — well inside the 1200s
+    worker budget. Reported sec = min over clean samples (min because
+    host noise only ever inflates; the min is the closest observation
+    to the uncontended cost)."""
     from featurewiz_spark import get_spark
     from featurewiz_spark.plans.pipeline import pages_feature_pipeline
 
@@ -102,24 +112,47 @@ def run_pages_worker(cores: int, path: str) -> None:
                       })
     pages = spark.read.parquet(path)
     df = pages_feature_pipeline(pages, extract=True)
-    times = []
-    cals = []
-    for i in range(4):
+    times: list[float] = []
+    cals: list[float] = []
+    # run 0: JIT/codegen/shuffle-dir warm-up — never counted
+    cals.append(_calibrate())
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    times.append(time.time() - t0)
+    best = None
+    stall = 0
+    clean_count = 0
+    sample_t0 = time.time()
+    while True:
         cals.append(_calibrate())
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        times.append(time.time() - t0)
-    # run 0 is the JIT/codegen warm-up (untimed). Among the rest, keep
-    # only samples whose contention probe was within 1.35x of the best
-    # probe (uncontended window), then take the min. Falls back to the
-    # plain min if every window was noisy.
+        el = time.time() - t0
+        times.append(el)
+        # clean = the contention probe for THIS sample was within 1.35x
+        # of the best probe seen so far; noisy samples neither advance
+        # nor stall convergence (they carry no information about the
+        # engine, only about the neighbors)
+        if cals[-1] <= 1.35 * min(cals):
+            clean_count += 1
+            if best is None or el < best * 0.99:
+                best = el
+                stall = 0
+            else:
+                stall += 1
+        timed = len(times) - 1
+        if (stall >= 2 and clean_count >= 3) or timed >= 14 \
+                or (time.time() - sample_t0) > 600:
+            break
     best_cal = min(cals[1:])
     clean = [t for t, c in zip(times[1:], cals[1:]) if c <= 1.35 * best_cal]
     n = pages.count()
     print(json.dumps({
         "sec": min(clean) if clean else min(times[1:]),
         "all_times": times, "calibration": cals,
-        "clean_samples": len(clean), "rows": n, "cores": cores,
+        "clean_samples": len(clean), "timed_runs": len(times) - 1,
+        "converged": stall >= 2 and clean_count >= 3,
+        "rows": n, "cores": cores,
     }))
     spark.stop()
 
@@ -218,9 +251,10 @@ def write_baseline_md(result: dict) -> None:
     for tag, r in ((f"local[{SCALE_N}]", rn), (f"local[{SCALE_4N}]", r4n)):
         if r:
             raw = ", ".join(f"{t:.1f}" for t in r.get("all_times", []))
+            conv = " (converged)" if r.get("converged") else ""
             lines.append(
                 f"| {tag} | {r['rows']} | {r['sec']:.2f} | {r['rows']/r['sec']:.0f} |"
-                f" raw: {raw} |"
+                f" raw: {raw}{conv} |"
             )
     if "scaling_efficiency_n_to_4n" in s:
         lines += [
@@ -277,18 +311,31 @@ def main() -> None:
         except Exception as ex:  # scaling evidence is best-effort in bench
             scaling = {"error": str(ex)}
 
+    from featurewiz_spark.cache import release_caches
+
     qtimes: dict[str, float] = {}
     total_rows = 0
+    session_best_cal = None
     for name, fn in _headline_queries(spark, sf_dir).items():
-        # min-of-2: first run includes codegen/JIT; second is steady-state
-        # and dodges transient host-contention spikes
+        # min-of-2 normally (first run includes codegen/JIT; second is
+        # steady-state), with a contamination-gated 3rd attempt: the r2
+        # driver bench recorded q31 at 10.4s vs 2.4s measured locally —
+        # a host noise storm during exactly that query's window. If the
+        # contention probe says both timed windows were noisy, take one
+        # more sample rather than publishing the neighbors' timings.
         best = None
-        for _ in range(2):
+        for attempt in range(3):
+            cal = _calibrate()
+            session_best_cal = cal if session_best_cal is None \
+                else min(session_best_cal, cal)
             t0 = time.time()
             df = fn(spark, sf_dir)
             rows = _materialize(df)
             el = time.time() - t0
             best = el if best is None else min(best, el)
+            release_caches()  # dedup/verify persists must not accumulate
+            if attempt >= 1 and cal <= 1.35 * session_best_cal:
+                break
         qtimes[name] = round(best, 3)
         total_rows += rows
 

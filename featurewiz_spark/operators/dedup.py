@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featurewiz_spark.cache import scoped_persist
+
 
 def _spread(df: DataFrame, partitions: int | None) -> DataFrame:
     """Round-robin repartition for compute-bound text ops. Local parquet
@@ -110,8 +112,11 @@ def minhash_lsh_pairs(
     n = bands * rows_per_band
     # persist: the self-join consumes the signatures twice; recomputing
     # the text → shingle → hash pipeline on both sides doubles the most
-    # expensive stage. Signatures are small (id + k longs).
-    sigs = sigs.persist()
+    # expensive stage. Signatures are small (id + k longs). Registered
+    # with cache.py — callers release via release_caches()/cache_scope()
+    # after materializing (lazy results make an in-function unpersist
+    # impossible; see the module docstring of featurewiz_spark.cache).
+    sigs = scoped_persist(sigs)
     banded = sigs.select(
         id_col,
         "minhash",
@@ -242,7 +247,8 @@ def jaccard_pairs(
         # sides of the verify join); without it the upstream candidate
         # pipeline (e.g. the whole LSH explode/shuffle/self-join DAG)
         # re-executes per consumer — measured 3.8x on the q31 bench.
-        pairs = pairs.persist()
+        # Registered for release_caches() (see featurewiz_spark.cache).
+        pairs = scoped_persist(pairs)
         wanted = (
             pairs.select(F.col("a").alias(id_col))
             .unionByName(pairs.select(F.col("b").alias(id_col)))
