@@ -588,6 +588,9 @@ def ann_topk_lsh(
     )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # fully-vectorized kernel (same argpartition/lexsort pattern as
+        # ivf_topk's per_cell) — the previous per-row Python loop was
+        # 10-50x slower at max_bucket_size=10000 (r2 verdict item 3)
         if len(pdf) < 2:
             return pd.DataFrame(columns=[c.name for c in schema]).astype(
                 {id_col: "int64", "nn_id": "int64", "rank": "int32", "cos_sim": "float64"}
@@ -596,24 +599,26 @@ def ann_topk_lsh(
         M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         sims = Mn @ Mn.T
-        out_id, out_nn, out_rank, out_sim = [], [], [], []
-        for i in range(len(ids)):
-            s = sims[i]
-            order = np.lexsort((ids, -s))
-            taken = 0
-            for j in order:
-                if ids[j] == ids[i]:
-                    continue
-                out_id.append(ids[i])
-                out_nn.append(ids[j])
-                out_rank.append(taken + 1)
-                out_sim.append(float(s[j]))
-                taken += 1
-                if taken >= k:
-                    break
-        return pd.DataFrame(
-            {id_col: out_id, "nn_id": out_nn, "rank": out_rank, "cos_sim": out_sim}
+        sims[ids[:, None] == ids[None, :]] = -np.inf  # never match own id
+        kk = min(k, len(ids) - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        psims = np.take_along_axis(sims, part, axis=1)
+        pids = ids[part]
+        # deterministic order within the k: sim desc, id asc; -inf
+        # (self/dup-id masked) entries sort last and are filtered, so
+        # surviving ranks stay consecutive
+        ordr = np.lexsort((pids, -psims), axis=1)
+        psims = np.take_along_axis(psims, ordr, axis=1)
+        pids = np.take_along_axis(pids, ordr, axis=1)
+        out = pd.DataFrame(
+            {
+                id_col: np.repeat(ids, kk),
+                "nn_id": pids.ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)),
+                "cos_sim": psims.ravel(),
+            }
         )
+        return out[np.isfinite(out["cos_sim"])]
 
     return (
         bucketed.select("lsh_bucket", id_col, vec_col)
