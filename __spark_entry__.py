@@ -1776,7 +1776,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type AS value, min(event_id) AS f
                 FROM events GROUP BY 1
             ), m AS (
-                SELECT value, row_number() OVER (ORDER BY f) - 1 AS code
+                SELECT value,
+                       row_number() OVER (
+                           ORDER BY (value IS NULL), f, value
+                       ) - 1 AS code
                 FROM fs
             )
             SELECT e.event_id, m.code AS event_type_code

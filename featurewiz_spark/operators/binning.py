@@ -49,7 +49,7 @@ def iqr_cap(
     reference featurewiz/featurewiz.py:2023-2102): values beyond
     Q3 + k·IQR (and below Q1 − k·IQR) are clamped to the fence."""
     q1, q3 = df.agg(
-        F.expr(f"percentile({col}, 0.25)"), F.expr(f"percentile({col}, 0.75)")
+        F.expr(f"percentile(`{col}`, 0.25)"), F.expr(f"percentile(`{col}`, 0.75)")
     ).first()
     iqr = q3 - q1
     hi, lo = q3 + k * iqr, q1 - k * iqr
@@ -107,9 +107,13 @@ def iqr_outlier_row_drop(
     fn = "percentile" if percentile_mode == "exact" else "percentile_approx"
     aggs = []
     for c in cols:
+        # backtick-quoted identifiers: raw interpolation breaks (or
+        # silently mis-resolves) column names containing spaces/dots —
+        # the same string-interpolation defect class fixed in
+        # functions/strings.py (r1 bug #7)
         aggs += [
-            F.expr(f"{fn}({c}, 0.25)").alias(f"{c}__q1"),
-            F.expr(f"{fn}({c}, 0.75)").alias(f"{c}__q3"),
+            F.expr(f"{fn}(`{c}`, 0.25)").alias(f"{c}__q1"),
+            F.expr(f"{fn}(`{c}`, 0.75)").alias(f"{c}__q3"),
         ]
     st = df.agg(*aggs).first().asDict()
     fences = {}
@@ -119,8 +123,15 @@ def iqr_outlier_row_drop(
         iqr = q3 - q1
         lo, hi = q1 - k * iqr, q3 + k * iqr
         fences[c] = (lo, hi)
+        # coalesce: a NULL value makes the comparison NULL, which would
+        # make the SUMMED indicator NULL and the filter drop the row —
+        # the reference's pandas comparisons treat NaN as False and KEEP
+        # such rows (nulls are not outliers)
         flags.append(
-            ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("int")
+            F.coalesce(
+                ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("int"),
+                F.lit(0),
+            )
         )
     n_out = sum(flags[1:], flags[0]) if flags else F.lit(0)
     out = df.filter(n_out < F.lit(min_outlier_cols))
@@ -133,9 +144,9 @@ def mad_outlier_cap(
     """B5 MADD outlier cap (is_outlier / FE_find_and_cap_outliers,
     reference featurewiz/featurewiz.py:2211-2340): modified z-score
     0.6745·|x−med|/MAD > thresh → clamp to the threshold boundary."""
-    med = df.agg(F.expr(f"percentile({col}, 0.5)")).first()[0]
+    med = df.agg(F.expr(f"percentile(`{col}`, 0.5)")).first()[0]
     mad = df.agg(
-        F.expr(f"percentile(abs({col} - {med}), 0.5)")
+        F.expr(f"percentile(abs(`{col}` - {med!r}), 0.5)")
     ).first()[0]
     if not mad:
         return df, {"median": med, "mad": 0.0}

@@ -27,7 +27,8 @@ def _join_fitted(df: DataFrame, col: str, fitted: DataFrame, how: str = "left") 
 
 
 def label_encode(
-    df: DataFrame, col: str, order_col: str | None = None
+    df: DataFrame, col: str, order_col: str | None = None,
+    max_categories: int | None = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """E1 My_LabelEncoder (reference my_encoders.py:34-136): codes by
     FIRST-APPEARANCE order (pandas factorize), NaN → its own code.
@@ -39,9 +40,29 @@ def label_encode(
     cluster-size-STABLE (SURVEY §7.4 determinism rule). The previous
     fallback (monotonically_increasing_id) changed with partitioning,
     so the same data could encode differently on different clusters.
-    Returns (encoded_df, mapping_df ['value', 'code']); nulls get the
-    code after all seen values (reference maps NaN explicitly, :92-96).
+    Returns (encoded_df, mapping_df ['value', 'code']). A NULL value is
+    ordered LAST explicitly (leading isNull sort key — the reference
+    maps NaN after all seen values, :92-96; without the explicit key the
+    hash path would land null at an arbitrary mid-range code).
+
+    max_categories guards the mapping window: row_number() without a
+    partitionBy single-task-sorts the distinct-value table, which is the
+    right plan for categorical cardinalities (reference cat_limit=35)
+    but a silent stall if an id-like column slips in. Cardinality is
+    pre-checked with approx_count_distinct (one scan-only job, ±2%);
+    above the cap we raise instead of hanging — pass None to disable.
     """
+    if max_categories is not None:
+        est = df.agg(F.approx_count_distinct(col).alias("n")).first()["n"]
+        if est > max_categories:
+            raise ValueError(
+                f"label_encode({col!r}): ~{est} distinct values exceeds "
+                f"max_categories={max_categories}. The code-assignment "
+                "window is a single-task sort over the distinct values — "
+                "id-like columns do not belong in a label encoder "
+                "(classify_columns routes them to id_vars). Pass "
+                "max_categories=None to force."
+            )
     first_seen = df.groupBy(F.col(col).alias("value")).agg(
         (
             F.min(order_col)
@@ -49,7 +70,11 @@ def label_encode(
             else F.first(F.xxhash64(F.col(col)))
         ).alias("__first")
     )
-    w = Window.orderBy(F.col("__first").asc(), F.col("value").asc_nulls_last())
+    w = Window.orderBy(
+        F.col("value").isNull().cast("int").asc(),
+        F.col("__first").asc(),
+        F.col("value").asc(),
+    )
     mapping = first_seen.select(
         "value", (F.row_number().over(w) - 1).alias("code")
     )
@@ -86,11 +111,15 @@ def rare_class_combine(
     """A5/E2 Rare_Class_Combiner (reference my_encoders.py:225-331;
     FE_combine_rare_categories featurewiz/featurewiz.py:1858-1873):
     values with relative frequency ≤ threshold → rare_label; nulls →
-    missing_label. Returns (df, fitted mapping)."""
-    total = df.count()
+    missing_label. Returns (df, fitted mapping).
+
+    ONE job: the total row count is the sum of the per-value counts, so
+    it folds into an unpartitioned window over the (small, ≤cardinality)
+    aggregate table instead of a separate df.count() pass."""
+    w_all = Window.partitionBy()
     freq = df.groupBy(F.col(col).alias("value")).agg(
-        (F.count(F.lit(1)) / F.lit(total)).alias("freq")
-    )
+        F.count(F.lit(1)).alias("__n")
+    ).withColumn("freq", F.col("__n") / F.sum("__n").over(w_all))
     mapping = freq.select(
         "value",
         F.when(F.col("value").isNull(), F.lit(missing_label))
@@ -107,12 +136,19 @@ def frequency_encode(
 ) -> tuple[DataFrame, DataFrame]:
     """A6/E3 FrequencyEncoder (reference encoders.py:35-125): category →
     train relative frequency. Unseen test values keep their TEST-side
-    frequency (reference :103-118) — see apply_frequency_encoding."""
-    total = df.count()
-    enc = df.groupBy(F.col(col).alias("value")).agg(
+    frequency (reference :103-118) — see apply_frequency_encoding.
+    Single job: the normalizing total folds into an unpartitioned window
+    over the per-value aggregate (same IEEE count/total division as the
+    former separate df.count() pass — bit-identical results)."""
+    w_all = Window.partitionBy()
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    enc = counts.select(
+        "value",
         (
-            (F.count(F.lit(1)) / F.lit(total)) if normalize else F.count(F.lit(1))
-        ).cast("double").alias(f"{col}_freq")
+            (F.col("__n") / F.sum("__n").over(w_all)) if normalize else F.col("__n")
+        ).cast("double").alias(f"{col}_freq"),
     )
     out = _join_fitted(df, col, enc)
     return out, enc
@@ -120,9 +156,12 @@ def frequency_encode(
 
 def apply_frequency_encoding(df: DataFrame, col: str, enc: DataFrame) -> DataFrame:
     """Unseen values → their own frequency within the new data."""
-    total = df.count()
+    w_all = Window.partitionBy()
     test_enc = df.groupBy(F.col(col).alias("value")).agg(
-        (F.count(F.lit(1)) / F.lit(total)).cast("double").alias("__tf")
+        F.count(F.lit(1)).alias("__n")
+    ).select(
+        "value",
+        (F.col("__n") / F.sum("__n").over(w_all)).cast("double").alias("__tf"),
     )
     out = _join_fitted(_join_fitted(df, col, enc), col, test_enc)
     fcol = [c for c in enc.columns if c != "value"][0]

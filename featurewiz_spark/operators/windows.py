@@ -14,6 +14,31 @@ def _keys(keys: str | list[str]) -> list[str]:
     return [keys] if isinstance(keys, str) else list(keys)
 
 
+_UTC_ZONES = ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00")
+
+
+def _require_utc_for_ntz(df: DataFrame, ts: str, op: str) -> None:
+    """TIMESTAMP_NTZ columns reach epoch arithmetic via an NTZ→TZ cast
+    that applies the session-timezone offset per-value; across a DST
+    transition that offset changes, corrupting wall-clock gap math. The
+    cast is exact only under a fixed-offset zone — enforce UTC (the
+    engine's session factory default) instead of silently mis-gapping."""
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[ts].dataType, T.TimestampNTZType):
+        return
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_ZONES:
+        raise ValueError(
+            f"{op}({ts!r}): column is TIMESTAMP_NTZ but "
+            f"spark.sql.session.timeZone={tz!r} — the NTZ→TZ cast offset "
+            "varies across DST transitions in non-fixed-offset zones, "
+            "which corrupts gap arithmetic. Set the session timezone to "
+            "UTC (featurewiz_spark.get_spark does) or cast the column to "
+            "TIMESTAMP explicitly with your intended semantics."
+        )
+
+
 def lag_lead(
     df: DataFrame,
     keys: str | list[str],
@@ -160,8 +185,13 @@ def sessionize(
     order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]
     w = Window.partitionBy(*kl).orderBy(*order)
     gap_us = _interval_seconds(gap) * 1_000_000
-    # cast: unix_micros rejects TIMESTAMP_NTZ; NTZ→TZ shifts by a
-    # constant session offset, which cancels in the gap difference
+    # cast: unix_micros rejects TIMESTAMP_NTZ. The NTZ→TZ cast applies
+    # the session-timezone offset, which is NOT constant across DST
+    # transitions — two wall-clock NTZ events 30 min apart spanning a
+    # fall-back boundary would map 90 min apart and flip session
+    # decisions. Under UTC the offset is identically zero, so require it
+    # (our session factory pins spark.sql.session.timeZone=UTC).
+    _require_utc_for_ntz(df, ts, "sessionize")
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     prev = F.lag(us).over(w)
     is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
@@ -180,6 +210,7 @@ def duration_between_rows(
 ) -> DataFrame:
     """W6 duration pairing: Δseconds to the previous row per entity;
     negatives → 0 (reference featurewiz/featurewiz.py:3662-3671)."""
+    _require_utc_for_ntz(df, ts, "duration_between_rows")  # same DST trap
     w = Window.partitionBy(*_keys(keys)).orderBy(F.col(ts))
     d = F.unix_timestamp(F.col(ts)) - F.lag(F.unix_timestamp(F.col(ts))).over(w)
     if clamp_negative:

@@ -75,9 +75,20 @@ def write_table(
     """Write with the format's native partitioning. For parquet,
     `partition_by` must be real columns (derive `warc_day` etc. first);
     iceberg accepts hidden-partition TRANSFORMS at table-create time
-    (see pages_table_ddl) so the write itself needs no extra columns."""
+    (see pages_table_ddl) so the write itself needs no extra columns.
+
+    mode semantics on the iceberg/delta branch mirror parquet's:
+    'overwrite' → createOrReplace (replaces table contents + schema),
+    'append' → append to the EXISTING table (raises if absent — the
+    incremental-ingest call must never silently destroy table history,
+    which is exactly what an unconditional createOrReplace did).
+    partition_by applies at table creation only, so append+partition_by
+    is rejected explicitly (the table's partition spec is already
+    fixed)."""
     if table_format not in _FORMATS:
         raise ValueError(f"table_format must be one of {_FORMATS}")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     if table_format == "parquet":
         w = df.write.mode(mode)
         if partition_by:
@@ -85,7 +96,20 @@ def write_table(
         w.parquet(location)
         return
     _require_catalog(df.sparkSession, table_format)
-    df.writeTo(location).using(table_format).createOrReplace()
+    writer = df.writeTo(location).using(table_format)
+    if mode == "append":
+        if partition_by:
+            raise ValueError(
+                "partition_by is fixed at table creation for "
+                f"{table_format}; append cannot change the partition spec"
+            )
+        writer.append()
+        return
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    writer.createOrReplace()
 
 
 def pages_table_ddl(
