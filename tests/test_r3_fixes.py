@@ -1,0 +1,249 @@
+"""Round-3 regression tests: pins for every verdict/advice item closed
+this round (cache lifecycle, vectorized ANN kernel, encoder single-job
+folds + guards, null-safe outlier drop, table_io write modes, NTZ/DST
+guard)."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- cache
+
+def test_no_cached_rdds_after_release(spark, tmp_path):
+    """Verdict item 4: dedup's internal persists must be releasable —
+    no cached RDDs left after the LSH pipeline + curation pipeline
+    complete and the caller releases."""
+    from featurewiz_spark.cache import cache_scope
+    from featurewiz_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from featurewiz_spark.plans.pipeline import documents_curation_pipeline
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [
+                    f"the quick brown fox {i % 7} jumps over the lazy dog {i % 5}"
+                    for i in range(40)
+                ],
+            }
+        )
+    )
+    with cache_scope():
+        sigs = minhash_signatures(docs, num_hashes=16, partitions=4)
+        cand = minhash_lsh_pairs(sigs, bands=4, rows_per_band=4,
+                                 jaccard_threshold=0.0)
+        verified = jaccard_pairs(docs, cand, shingle_k=3)
+        verified.count()
+        assert not spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+    with cache_scope():
+        documents_curation_pipeline(docs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
+# ----------------------------------------------- vectorized ANN kernel
+
+def test_ann_topk_lsh_matches_reference_kernel(spark):
+    """Vectorized per-bucket kernel must reproduce the scalar reference
+    semantics: per query, top-k by (sim desc, id asc), self excluded,
+    consecutive ranks even when the bucket is smaller than k+1."""
+    from featurewiz_spark.operators.similarity import ann_topk_lsh
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    vecs = rng.standard_normal((n, d))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                        "embedding": list(vecs)})
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": pdf["vec_id"],
+                      "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    got = (
+        ann_topk_lsh(df, k=3, n_planes=3, seed=11)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # scalar oracle: same planes, same buckets, per-row full sort
+    planes = np.random.default_rng(11).standard_normal((3, d))
+    bits = (vecs @ planes.T) > 0
+    buckets = (bits * (1 << np.arange(3))).sum(axis=1)
+    rows = []
+    norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    for b in np.unique(buckets):
+        idx = np.where(buckets == b)[0]
+        if len(idx) < 2:
+            continue
+        sims = norm[idx] @ norm[idx].T
+        ids = idx.astype("int64")
+        for i in range(len(idx)):
+            order = sorted(
+                (j for j in range(len(idx)) if j != i),
+                key=lambda j: (-sims[i, j], ids[j]),
+            )
+            for r, j in enumerate(order[:3], start=1):
+                rows.append((ids[i], ids[j], r, sims[i, j]))
+    exp = (
+        pd.DataFrame(rows, columns=["vec_id", "nn_id", "rank", "cos_sim"])
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["vec_id"].values == exp["vec_id"].values).all()
+    assert (got["nn_id"].values == exp["nn_id"].values).all()
+    assert (got["rank"].values == exp["rank"].values).all()
+    assert np.allclose(got["cos_sim"].values, exp["cos_sim"].values)
+
+
+# ------------------------------------------------------------- encoders
+
+def test_label_encode_null_sorts_last(spark):
+    from featurewiz_spark.operators.encoders import label_encode
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (3, "a"), (4, "b"), (5, None)],
+        "rid int, v string",
+    )
+    for order_col in ("rid", None):
+        _, mapping = label_encode(df, "v", order_col=order_col)
+        m = mapping.toPandas().sort_values("code")
+        # null must take the LAST code regardless of hash/first-seen order
+        assert m.iloc[-1]["value"] is None or pd.isna(m.iloc[-1]["value"])
+        assert m.iloc[-1]["code"] == 2
+
+    # first-appearance order preserved for non-null values
+    _, mapping = label_encode(df, "v", order_col="rid")
+    codes = {r["value"]: r["code"] for r in mapping.collect()}
+    assert codes["b"] == 0 and codes["a"] == 1
+
+
+def test_label_encode_cardinality_guard(spark):
+    from featurewiz_spark.operators.encoders import label_encode
+
+    df = spark.range(0, 5000).withColumn("idlike", F.col("id").cast("string"))
+    with pytest.raises(ValueError, match="max_categories"):
+        label_encode(df, "idlike", max_categories=100)
+    # explicit opt-out still works
+    out, _ = label_encode(df.limit(50), "idlike", max_categories=None)
+    assert out.count() == 50
+
+
+def test_rare_combine_single_job_same_result(spark):
+    """Folded-total rare combiner must equal the two-pass math."""
+    from featurewiz_spark.operators.encoders import rare_class_combine
+
+    pdf = pd.DataFrame({"c": ["a"] * 90 + ["b"] * 9 + ["z"]})
+    df = spark.createDataFrame(pdf)
+    out, mapping = rare_class_combine(df, "c", threshold=0.05)
+    m = {r["value"]: r["c_combined"] for r in mapping.collect()}
+    assert m == {"a": "a", "b": "b", "z": "RARE"}
+    assert out.filter(F.col("c_combined") == "RARE").count() == 1
+
+
+# ------------------------------------------------- null-safe row drop
+
+def test_iqr_row_drop_keeps_null_rows(spark):
+    from featurewiz_spark.operators.binning import iqr_outlier_row_drop
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(12),
+            "x": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 1e9, None],
+            "y": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 1e9, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out, _ = iqr_outlier_row_drop(df, ["x", "y"], min_outlier_cols=2)
+    kept = {r["rid"] for r in out.select("rid").collect()}
+    assert 11 in kept          # all-null row is NOT an outlier row
+    assert 10 not in kept      # the 1e9 row outlies in both cols
+
+
+def test_iqr_row_drop_quoted_identifiers(spark):
+    from featurewiz_spark.operators.binning import iqr_outlier_row_drop
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"weird col": [1.0, 2, 3, 4, 100.0]})
+    )
+    out, fences = iqr_outlier_row_drop(df, ["weird col"], min_outlier_cols=1)
+    assert out.count() == 4
+    assert "weird col" in fences["fences"]
+
+
+# ------------------------------------------------------------ table_io
+
+def test_write_table_parquet_append(spark, tmp_path):
+    from featurewiz_spark.sources.table_io import read_table, write_table
+
+    loc = str(tmp_path / "t")
+    df = spark.range(0, 5)
+    write_table(df, loc, mode="overwrite")
+    write_table(df, loc, mode="append")
+    assert read_table(spark, loc).count() == 10
+    with pytest.raises(ValueError, match="mode"):
+        write_table(df, loc, mode="error_if_exists")
+
+
+import pyspark  # noqa: E402
+
+_ICEBERG_JARS = glob.glob(
+    os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                 "iceberg-spark-runtime*.jar")
+)
+
+
+@pytest.mark.skipif(not _ICEBERG_JARS, reason="no iceberg runtime jar in env")
+def test_iceberg_round_trip(spark, tmp_path):
+    """Jar-gated lakehouse integration (verdict item 6): only runs when
+    the environment ships an Iceberg runtime; the parquet stand-in path
+    is covered unconditionally above."""
+    from featurewiz_spark.sources.table_io import write_table
+
+    write_table(spark.range(3), "local.t.ice", table_format="iceberg")
+
+
+def test_iceberg_without_catalog_raises(spark):
+    from featurewiz_spark.sources.table_io import write_table
+
+    if _ICEBERG_JARS:
+        pytest.skip("iceberg present; the degraded path does not apply")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        write_table(spark.range(3), "local.t.ice", table_format="iceberg")
+
+
+# ------------------------------------------------------------ NTZ guard
+
+def test_sessionize_ntz_requires_utc(spark):
+    from featurewiz_spark.operators.windows import sessionize
+
+    pdf = pd.DataFrame(
+        {"u": [1, 1], "ts": pd.to_datetime(["2024-11-03 01:10:00",
+                                            "2024-11-03 01:40:00"])}
+    )
+    schema = T.StructType(
+        [T.StructField("u", T.LongType()),
+         T.StructField("ts", T.TimestampNTZType())]
+    )
+    df = spark.createDataFrame(pdf, schema=schema)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+            sessionize(df, "u", "ts", gap="30 minutes")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # UTC session: NTZ is fine and gap math is exact
+    out = sessionize(df, "u", "ts", gap="30 minutes")
+    assert out.agg(F.max("session_id")).first()[0] == 1
