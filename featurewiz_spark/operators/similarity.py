@@ -19,6 +19,59 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_BLOCK_ROWS = 256
+
+
+def _blocked_topk(
+    qids: np.ndarray,
+    Qn: np.ndarray,
+    cids: np.ndarray,
+    Cn: np.ndarray,
+    kk: int,
+    exclude_same_id: bool = True,
+):
+    """Shared top-k kernel: for every query row, the kk most-cosine-
+    similar candidates, ordered (sim desc, id asc) — vectorized
+    argpartition+lexsort, never a per-row Python loop.
+
+    ROW-BLOCKED: queries are processed _BLOCK_ROWS at a time against a
+    similarity buffer that is allocated ONCE and reused, so the kernel's
+    working set is _BLOCK_ROWS·|C| doubles (~20MB at a 10k-vector
+    bucket) instead of a fresh |Q|·|C| matrix per call (800MB at
+    10k×10k). The full matrix was the measured pathology: repeated
+    hundreds-of-MB allocations page-fault afresh on every call and
+    inflated the kernel 5-50x under host memory pressure, while the
+    blocked buffer stays warm. This also bounds executor memory for any
+    bucket the cap admits — the 100TB sizing story (cap × _BLOCK_ROWS
+    doubles per task) instead of cap².
+
+    Excluded pairs (same id, when exclude_same_id) surface as
+    cos_sim=-inf in the LAST positions of a row; callers filter with
+    isfinite, keeping ranks consecutive. Inputs must be unit-normalized.
+    Returns (pids, psims) of shape (len(qids), kk)."""
+    nq, nc = len(qids), len(cids)
+    bs = min(_BLOCK_ROWS, nq)
+    buf = np.empty((bs, nc), dtype=np.float64)
+    outp = np.empty((nq, kk), dtype=cids.dtype)
+    outs = np.empty((nq, kk), dtype=np.float64)
+    for s in range(0, nq, bs):
+        e = min(s + bs, nq)
+        blk = buf[: e - s]
+        np.matmul(Qn[s:e], Cn.T, out=blk)
+        # negate so argpartition (ascending) selects the top; excluded
+        # pairs become +inf and land after every real candidate
+        np.negative(blk, out=blk)
+        if exclude_same_id:
+            blk[qids[s:e, None] == cids[None, :]] = np.inf
+        part = np.argpartition(blk, kk - 1, axis=1)[:, :kk]
+        nsims = np.take_along_axis(blk, part, axis=1)
+        pids = cids[part]
+        ordr = np.lexsort((pids, nsims), axis=1)  # nsims asc == sim desc
+        outs[s:e] = -np.take_along_axis(nsims, ordr, axis=1)
+        outp[s:e] = np.take_along_axis(pids, ordr, axis=1)
+    return outp, outs
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -66,26 +119,9 @@ def brute_force_topk(
                 continue
             Q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            sims = Qn @ cm.T  # (q, n)
             qids = pdf[id_col].to_numpy()
-            if ex:
-                # mask self-matches (qid present in corpus ids)
-                self_cols = np.searchsorted(cid, qids) if np.all(np.diff(cid) > 0) else None
-                if self_cols is not None:
-                    valid = (self_cols < n) & (cid[np.minimum(self_cols, n - 1)] == qids)
-                    sims[np.where(valid)[0], self_cols[valid]] = -np.inf
-                else:
-                    for qi, qid in enumerate(qids):
-                        sims[qi, cid == qid] = -np.inf
             kth = min(kk, n - 1 if ex else n)
-            # vectorized top-k: argpartition then per-row sort of k items
-            part = np.argpartition(-sims, kth - 1, axis=1)[:, :kth]
-            psims = np.take_along_axis(sims, part, axis=1)
-            pids = cid[part]
-            # deterministic order within the k: sim desc, id asc
-            ordr = np.lexsort((pids, -psims), axis=1)
-            psims = np.take_along_axis(psims, ordr, axis=1)
-            pids = np.take_along_axis(pids, ordr, axis=1)
+            pids, psims = _blocked_topk(qids, Qn, cid, cm, kth, exclude_same_id=ex)
             nq = len(qids)
             yield pd.DataFrame(
                 {
@@ -220,13 +256,8 @@ def brute_force_topk_blocked(
         cids = right[id_col].to_numpy()
         Cm = np.vstack(right[vec_col].to_numpy()).astype(np.float64)
         Cm = Cm / np.maximum(np.linalg.norm(Cm, axis=1, keepdims=True), 1e-12)
-        sims = Qm @ Cm.T
-        if ex:
-            sims[qids[:, None] == cids[None, :]] = -np.inf
-        kc = min(kk, sims.shape[1])
-        part = np.argpartition(-sims, kc - 1, axis=1)[:, :kc]
-        psims = np.take_along_axis(sims, part, axis=1)
-        pids = cids[part]
+        kc = min(kk, len(cids))
+        pids, psims = _blocked_topk(qids, Qm, cids, Cm, kc, exclude_same_id=ex)
         out = pd.DataFrame(
             {
                 id_col: np.repeat(qids, kc),
@@ -450,15 +481,9 @@ def ivf_topk(
         qids = pdf[id_col].to_numpy()
         Qn = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         Qn = Qn / np.maximum(np.linalg.norm(Qn, axis=1, keepdims=True), 1e-12)
-        sims = Qn @ Cn.T
-        sims[qids[:, None] == cids[None, :]] = -np.inf  # never match self
         kk = min(k, Cn.shape[0])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        psims = np.take_along_axis(sims, part, axis=1)
-        pids = cids[part]
-        ordr = np.lexsort((pids, -psims), axis=1)
-        psims = np.take_along_axis(psims, ordr, axis=1)
-        pids = np.take_along_axis(pids, ordr, axis=1)
+        # never match self: _blocked_topk masks same-id pairs to -inf
+        pids, psims = _blocked_topk(qids, Qn, cids, Cn, kk)
         out = pd.DataFrame(
             {
                 id_col: np.repeat(qids, kk),
@@ -546,12 +571,37 @@ def cosine_near_dup_pairs(
         ids = pdf[id_col].to_numpy()
         M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = Mn @ Mn.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= thr
-        aa, bb = ids[iu[0][mask]], ids[iu[1][mask]]
-        lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
-        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": sims[iu][mask]})
+        # row-blocked upper triangle: one reused (block × n) buffer
+        # instead of an n² matrix — same bounded-memory rationale as
+        # _blocked_topk (a capped 10k bucket would otherwise allocate
+        # 800MB per call)
+        n = len(ids)
+        bs = min(_BLOCK_ROWS, n)
+        buf = np.empty((bs, n), dtype=np.float64)
+        parts = []
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            blk = buf[: e - s]
+            np.matmul(Mn[s:e], Mn.T, out=blk)
+            rows, cols = np.nonzero(blk >= thr)
+            keep = cols > rows + s  # strictly upper triangle (i < j)
+            if keep.any():
+                aa = ids[rows[keep] + s]
+                bb = ids[cols[keep]]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "a": np.minimum(aa, bb),
+                            "b": np.maximum(aa, bb),
+                            "cos_sim": blk[rows[keep], cols[keep]],
+                        }
+                    )
+                )
+        if not parts:
+            return pd.DataFrame(columns=["a", "b", "cos_sim"]).astype(
+                {"a": "int64", "b": "int64", "cos_sim": "float64"}
+            )
+        return pd.concat(parts, ignore_index=True)
 
     return (
         bucketed.select("lsh_bucket", id_col, vec_col)
@@ -598,18 +648,11 @@ def ann_topk_lsh(
         ids = pdf[id_col].to_numpy()
         M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = Mn @ Mn.T
-        sims[ids[:, None] == ids[None, :]] = -np.inf  # never match own id
         kk = min(k, len(ids) - 1)
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        psims = np.take_along_axis(sims, part, axis=1)
-        pids = ids[part]
-        # deterministic order within the k: sim desc, id asc; -inf
-        # (self/dup-id masked) entries sort last and are filtered, so
-        # surviving ranks stay consecutive
-        ordr = np.lexsort((pids, -psims), axis=1)
-        psims = np.take_along_axis(psims, ordr, axis=1)
-        pids = np.take_along_axis(pids, ordr, axis=1)
+        # deterministic (sim desc, id asc); self/dup-id pairs surface as
+        # -inf, sort last, and are filtered → surviving ranks stay
+        # consecutive
+        pids, psims = _blocked_topk(ids, Mn, ids, Mn, kk)
         out = pd.DataFrame(
             {
                 id_col: np.repeat(ids, kk),
