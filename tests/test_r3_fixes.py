@@ -223,6 +223,62 @@ def test_iceberg_without_catalog_raises(spark):
         write_table(spark.range(3), "local.t.ice", table_format="iceberg")
 
 
+# ----------------------------------------------------------- streaming
+
+def test_stream_sessionize_availablenow_matches_batch(spark, tmp_path):
+    """The 3-phase availableNow protocol must emit EVERY real session —
+    equal to batch gap-sessionization of the same data (this is the
+    invariant that makes the streaming path oracle-checkable, q69)."""
+    from featurewiz_spark.streaming.stream_features import (
+        run_sessionize_availablenow,
+    )
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for u in range(5):
+        t = base
+        for _ in range(40):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 90)))
+            rows.append((u, t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()),
+         T.StructField("ts", T.TimestampNTZType())]
+    )
+    spark.createDataFrame(pdf, schema=schema).write.parquet(src)
+
+    got = run_sessionize_availablenow(
+        spark, src, str(tmp_path / "work"), keys=["user_id"], ts="ts",
+        gap="30 minutes", sentinel_overrides={"user_id": -1},
+    ).toPandas().sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+    # pandas oracle with session_window semantics: a new session starts
+    # strictly BEYOND the gap (exactly-gap-spaced events MERGE — same
+    # strict-> rule as the batch sessionize operator; verified on a
+    # 2-row exactly-gap frame)
+    gap = pd.Timedelta(minutes=30)
+    p = pdf.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    prev = p.groupby("user_id")["ts"].shift(1)
+    p["sid"] = (prev.isna() | (p["ts"] - prev > gap)).groupby(
+        p["user_id"]
+    ).cumsum()
+    exp = (
+        p.groupby(["user_id", "sid"])
+        .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+             n_events=("ts", "size"))
+        .reset_index()
+        .drop(columns="sid")
+    )
+    exp["session_end"] = exp["session_end"] + gap
+    exp = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    got2 = got[["user_id", "session_start", "session_end", "n_events"]].astype(
+        {"n_events": "int64"}
+    )
+    pd.testing.assert_frame_equal(got2, exp.astype({"n_events": "int64"}))
+
+
 # ------------------------------------------------------------ NTZ guard
 
 def test_sessionize_ntz_requires_utc(spark):
