@@ -27,6 +27,12 @@ def test_no_cached_rdds_after_release(spark, tmp_path):
     )
     from featurewiz_spark.plans.pipeline import documents_curation_pipeline
 
+    def persisted_ids():
+        # ids, not a bare isEmpty(): other tests in the shared session
+        # may hold their own persists — this test owns only its delta
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
     docs = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -38,18 +44,19 @@ def test_no_cached_rdds_after_release(spark, tmp_path):
             }
         )
     )
+    before = persisted_ids()
     with cache_scope():
         sigs = minhash_signatures(docs, num_hashes=16, partitions=4)
         cand = minhash_lsh_pairs(sigs, bands=4, rows_per_band=4,
                                  jaccard_threshold=0.0)
         verified = jaccard_pairs(docs, cand, shingle_k=3)
         verified.count()
-        assert not spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
-    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+        assert persisted_ids() - before
+    assert persisted_ids() - before == set()
 
     with cache_scope():
         documents_curation_pipeline(docs).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    assert persisted_ids() - before == set()
 
 
 # ----------------------------------------------- vectorized ANN kernel
