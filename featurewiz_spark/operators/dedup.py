@@ -68,16 +68,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for hash i, min over shingles of
     xxhash64(shingle, seed+i). Declarative: transform + array_min per
-    hash function — stays in codegen, one pass over the text."""
+    hash function — stays in codegen, one pass over the text.
+
+    Hash basis: each TOKEN is hashed once, and a shingle's base hash is
+    xxhash64 over its k token hashes — never a concatenated shingle
+    string (building w×k-char strings per doc dominated the signature
+    stage; composing 8-byte token hashes measured ~2× faster at sf0.1).
+    This is a different (equally uniform) hash family than hashing
+    shingle strings: signature VALUES differ, MinHash/LSH semantics and
+    every verified-output query (q31) do not — the exact-verify stage
+    (jaccard_pairs) still measures the true string shingle sets. No
+    array_distinct either: min over a multiset equals min over its set.
+    The k minhash functions derive from the base hash by re-hashing
+    with per-function seeds (cheap; avoids k passes over the text)."""
     df = _spread(df, partitions)
-    # hash each shingle STRING once; derive the k minhash functions by
-    # re-hashing the 8-byte base hash with per-function seeds (cheap) —
-    # avoids k full string-hash passes over the text.
-    base = df.select(
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # separate projection: the token-hash array is evaluated ONCE per
+    # row; referencing the transform expression inline inside the
+    # shingle lambda would re-hash every token per shingle (O(w²·k))
+    hashed = df.select(
         F.col(id_col),
-        F.transform(_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
-            "__bh"
-        ),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    base = hashed.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_k, F.lit(0))),
+            lambda i: F.xxhash64(
+                *[F.element_at(th, i + j + 1) for j in range(shingle_k)]
+            ),
+        ).alias("__bh"),
     )
     sigs = F.array(
         *[
