@@ -20,23 +20,40 @@ _UTC_ZONES = ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00")
 def _require_utc_for_ntz(df: DataFrame, ts: str, op: str) -> None:
     """TIMESTAMP_NTZ columns reach epoch arithmetic via an NTZ→TZ cast
     that applies the session-timezone offset per-value; across a DST
-    transition that offset changes, corrupting wall-clock gap math. The
-    cast is exact only under a fixed-offset zone — enforce UTC (the
-    engine's session factory default) instead of silently mis-gapping."""
+    transition that offset changes, corrupting wall-clock gap math. A
+    CONSTANT offset cancels in every gap difference, so any DST-free
+    zone is safe (UTC, Etc/GMT±N, Asia/Kolkata, raw "+05:30" …); only
+    DST-variable zones raise. The engine's session factory pins UTC."""
     from pyspark.sql import types as T
 
     if not isinstance(df.schema[ts].dataType, T.TimestampNTZType):
         return
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    if tz not in _UTC_ZONES:
-        raise ValueError(
-            f"{op}({ts!r}): column is TIMESTAMP_NTZ but "
-            f"spark.sql.session.timeZone={tz!r} — the NTZ→TZ cast offset "
-            "varies across DST transitions in non-fixed-offset zones, "
-            "which corrupts gap arithmetic. Set the session timezone to "
-            "UTC (featurewiz_spark.get_spark does) or cast the column to "
-            "TIMESTAMP explicitly with your intended semantics."
-        )
+    if tz in _UTC_ZONES:
+        return
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        # offset constant across winter/summer in two probe years → no
+        # DST (modern rules; pre-1970 historical offsets are out of
+        # scope for event data)
+        offs = {
+            z.utcoffset(datetime(y, m, 1)) for y in (2020, 2024) for m in (1, 7)
+        }
+        if len(offs) == 1:
+            return
+    except Exception:
+        pass  # unknown zone string → be strict
+    raise ValueError(
+        f"{op}({ts!r}): column is TIMESTAMP_NTZ but "
+        f"spark.sql.session.timeZone={tz!r} observes DST — the NTZ→TZ "
+        "cast offset changes across transitions, which corrupts gap "
+        "arithmetic. Set the session timezone to UTC (featurewiz_spark."
+        "get_spark does) or cast the column to TIMESTAMP explicitly "
+        "with your intended semantics."
+    )
 
 
 def lag_lead(

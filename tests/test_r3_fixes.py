@@ -319,6 +319,9 @@ def test_sessionize_ntz_requires_utc(spark):
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
             sessionize(df, "u", "ts", gap="30 minutes")
+        # DST-free fixed-offset zone: constant offset cancels in gaps
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        sessionize(df, "u", "ts", gap="30 minutes").count()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     # UTC session: NTZ is fine and gap math is exact
