@@ -144,14 +144,19 @@ def run_pages_worker(cores: int, path: str) -> None:
         if (stall >= 2 and clean_count >= 3) or timed >= 14 \
                 or (time.time() - sample_t0) > 600:
             break
-    best_cal = min(cals[1:])
+    # final report re-judges cleanliness against the best probe of the
+    # WHOLE run (the loop's running-min baseline can only be looser):
+    # published clean_samples, sec, and converged all derive from this
+    # one final baseline, so converged:true implies >=3 published-clean
+    # samples — the in-loop counter is a stopping heuristic only.
+    best_cal = min(cals)
     clean = [t for t, c in zip(times[1:], cals[1:]) if c <= 1.35 * best_cal]
     n = pages.count()
     print(json.dumps({
         "sec": min(clean) if clean else min(times[1:]),
         "all_times": times, "calibration": cals,
         "clean_samples": len(clean), "timed_runs": len(times) - 1,
-        "converged": stall >= 2 and clean_count >= 3,
+        "converged": stall >= 2 and len(clean) >= 3,
         "rows": n, "cores": cores,
     }))
     spark.stop()

@@ -13,9 +13,11 @@ Contract: operators register every internal persist() here via
 after materializing the result (collect/write/count). A released cache
 only costs recomputation if the same DataFrame is re-executed later —
 the data itself is never lost (persist is a performance hint, not a
-correctness mechanism). Pipelines, bench.py, and tests call
-``release_caches()`` between queries; ``cache_scope()`` wraps the same
-thing as a context manager for user code:
+correctness mechanism). bench.py releases between query attempts and
+the tests pin the zero-leftover invariant; LONG-LIVED CALLERS (a
+driver looping over queries, a service session) own the release —
+call ``release_caches()`` after materializing, or wrap the work in
+``cache_scope()``:
 
     with cache_scope():
         minhash_lsh_pairs(sigs).write.parquet(out)   # caches live here

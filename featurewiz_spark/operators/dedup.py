@@ -95,8 +95,13 @@ def minhash_signatures(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_k, F.lit(0))),
+            # F.get, NOT element_at: a doc with < shingle_k tokens reads
+            # past the array, and element_at THROWS under Spark 4's
+            # default ANSI mode (one short doc would abort the whole
+            # corpus job). get() returns NULL out of bounds and xxhash64
+            # skips null inputs, so short docs hash their real tokens.
             lambda i: F.xxhash64(
-                *[F.element_at(th, i + j + 1) for j in range(shingle_k)]
+                *[F.get(th, i + j) for j in range(shingle_k)]
             ),
         ).alias("__bh"),
     )

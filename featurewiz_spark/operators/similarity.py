@@ -123,7 +123,7 @@ def brute_force_topk(
             kth = min(kk, n - 1 if ex else n)
             pids, psims = _blocked_topk(qids, Qn, cid, cm, kth, exclude_same_id=ex)
             nq = len(qids)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: np.repeat(qids, kth),
                     "nn_id": pids.ravel(),
@@ -131,6 +131,11 @@ def brute_force_topk(
                     "cos_sim": psims.ravel(),
                 }
             )
+            # same isfinite contract as every other _blocked_topk
+            # caller: duplicate corpus ids mask >1 column, so a row can
+            # have fewer than kth real candidates — masked -inf entries
+            # sort last (ranks stay consecutive) and are dropped
+            yield out[np.isfinite(out["cos_sim"])]
 
     n_par = spark.sparkContext.defaultParallelism
     return (

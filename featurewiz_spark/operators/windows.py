@@ -28,19 +28,28 @@ def _require_utc_for_ntz(df: DataFrame, ts: str, op: str) -> None:
 
     if not isinstance(df.schema[ts].dataType, T.TimestampNTZType):
         return
+    import re as _re
+
     tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     if tz in _UTC_ZONES:
+        return
+    # raw fixed-offset ids ("+05:30", "UTC+05:30", "GMT+8", "-0800") are
+    # DST-free by construction but not parseable by zoneinfo
+    if _re.fullmatch(r"(?:UTC|GMT)?[+-]\d{1,2}(?::?\d{2})?(?::?\d{2})?", tz):
         return
     try:
         from datetime import datetime
         from zoneinfo import ZoneInfo
 
         z = ZoneInfo(tz)
-        # offset constant across winter/summer in two probe years → no
-        # DST (modern rules; pre-1970 historical offsets are out of
-        # scope for event data)
+        # offset constant at every month start over four years → no DST
+        # under modern rules (monthly sampling also catches non-calendar
+        # schemes like Casablanca's Ramadan windows, which span weeks;
+        # pre-1970 historical offsets are out of scope for event data)
         offs = {
-            z.utcoffset(datetime(y, m, 1)) for y in (2020, 2024) for m in (1, 7)
+            z.utcoffset(datetime(y, m, 1))
+            for y in (2020, 2021, 2023, 2024)
+            for m in range(1, 13)
         }
         if len(offs) == 1:
             return

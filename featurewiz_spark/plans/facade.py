@@ -134,7 +134,12 @@ class FeatureWizSpark:
         ]
         for c in self._cat_vars + cross_cols + cal_cats:
             if fit:
-                df, mapping = label_encode(df, c)
+                # max_categories=None: these columns were ALREADY
+                # cardinality-bounded by classify_columns (cat_limit) /
+                # cat×cat crosses / calendar names, so the encoder's
+                # guard scan would only re-prove a known bound — N extra
+                # full-table jobs per fit for nothing
+                df, mapping = label_encode(df, c, max_categories=None)
                 self._label_maps[c] = mapping
             else:
                 df = apply_label_encoding(df, c, self._label_maps[c])

@@ -168,10 +168,13 @@ def run_sessionize_availablenow(
     schema = batch.schema
     batch.write.mode("overwrite").parquet(in_dir)
     # withWatermark rejects TIMESTAMP_NTZ: cast to TIMESTAMP inside the
-    # stream (exact under the engine's pinned UTC session timezone —
-    # the same invariant _require_utc_for_ntz enforces for the batch
-    # ops) and cast the emitted session bounds back to NTZ so the
-    # result is timezone-independent like the source column.
+    # stream (exact under a DST-free session timezone — enforced by the
+    # SAME guard the batch ops use, so streaming never silently corrupts
+    # gaps where batch raises) and cast the emitted session bounds back
+    # to NTZ so the result is timezone-independent like the source.
+    from featurewiz_spark.operators.windows import _require_utc_for_ntz
+
+    _require_utc_for_ntz(batch, ts, "run_sessionize_availablenow")
     ntz = isinstance(schema[ts].dataType, T.TimestampNTZType)
 
     def phase():
@@ -204,7 +207,11 @@ def run_sessionize_availablenow(
             "session_start", F.col("session_start").cast("timestamp_ntz")
         ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
     for c, v in sentinel_overrides.items():
-        out = out.filter(F.col(c) != F.lit(v))
+        # null-safe: a plain != would also drop NULL-key sessions (the
+        # null group is a legitimate session key in batch and oracle).
+        # Choosing a sentinel value that cannot collide with real keys
+        # is the caller's contract.
+        out = out.filter(~F.col(c).eqNullSafe(F.lit(v)))
     return out
 
 

@@ -244,6 +244,58 @@ def test_iceberg_without_catalog_raises(spark):
         write_table(spark.range(3), "local.t.ice", table_format="iceberg")
 
 
+def test_minhash_short_docs_do_not_crash(spark):
+    """Docs with fewer than shingle_k tokens must hash, not abort:
+    element_at past the token array THROWS under Spark 4 ANSI mode —
+    F.get returns NULL and xxhash64 skips it (review finding r3)."""
+    from featurewiz_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, "only two"), (1, "single"), (2, ""), (3, "a full three tokens here")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["minhash"]
+            for r in minhash_signatures(df, num_hashes=8, partitions=2).collect()}
+    assert len(sigs) == 4 and all(len(v) == 8 for v in sigs.values())
+    # determinism: same short text → same signature
+    sigs2 = {r["doc_id"]: r["minhash"]
+             for r in minhash_signatures(df, num_hashes=8, partitions=2).collect()}
+    assert sigs == sigs2
+
+
+def test_ntz_guard_accepts_fixed_offset_ids(spark):
+    """Raw fixed-offset zone ids are DST-free but zoneinfo-unparseable —
+    the guard must accept them (review finding r3)."""
+    from featurewiz_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"u": [1], "ts": pd.to_datetime(["2024-01-01"])})
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("+05:30", "UTC+05:30", "GMT+8"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            sessionize(df, "u", "ts").count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_brute_force_topk_filters_dup_id_infs(spark):
+    """Duplicate corpus ids mask >1 column; the masked -inf rows must be
+    dropped like every other kernel caller does (review finding r3)."""
+    from featurewiz_spark.operators.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.9, 0.1]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = brute_force_topk(df, k=2).collect()
+    assert all(np.isfinite(r["cos_sim"]) for r in rows)
+    # id 0 appears twice in the corpus: each id-0 query row has only ONE
+    # real candidate (id 1), so no rank-2 -inf row may leak
+    assert all(r["rank"] == 1 for r in rows if r["vec_id"] == 0)
+
+
 # ----------------------------------------------------------- streaming
 
 def test_stream_sessionize_availablenow_matches_batch(spark, tmp_path):
