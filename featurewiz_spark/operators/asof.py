@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurewiz_spark.operators.windows import _interval_seconds
+from featurewiz_spark.operators.windows import (
+    _interval_seconds,
+    _require_utc_for_ntz,
+)
 
 
 def asof_join(
@@ -50,30 +53,43 @@ def asof_join(
     than this become NULL. strict=True excludes equal timestamps
     (leakage-free "only strictly earlier snapshots visible").
 
-    Implemented as union + one window — single shuffle on `on`.
+    Implemented as union + one window — single shuffle on `on`. The
+    matched right ROW travels as ONE struct payload (ts + values), so a
+    matched row whose value is NULL stays NULL (per-column
+    last(ignorenulls) would silently substitute an OLDER row's value and
+    report it inside the newer row's tolerance — pandas merge_asof
+    returns NULL here, and so do we). Left columns are never clobbered:
+    a right value column sharing a left column's name flows through as
+    ``{col}{suffix}`` while the left column survives untouched.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in keys + [right_ts]]
+    clash = [c for c in value_cols if f"{c}{suffix}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: output column(s) {[f'{c}{suffix}' for c in clash]} "
+            "already exist on the left side — pass a different suffix"
+        )
 
     # tag: right rows must sort BEFORE left rows at equal ts for
     # non-strict backward (so last() sees them), AFTER for strict.
     l_tag, r_tag = (1, 0) if not strict else (0, 1)
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(l_tag))
-    rt = (
-        right.select(
-            *keys,
-            F.col(right_ts).alias("__ts"),
-            F.lit(r_tag).alias("__side"),
-            *[F.col(c) for c in value_cols],
-        )
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_tag).alias("__side"),
+        F.struct(
+            F.col(right_ts).alias("__mts"), *[F.col(c) for c in value_cols]
+        ).alias("__pay"),
     )
-    # align schemas for unionByName
+    # align schemas for unionByName (right rows carry NULL left columns;
+    # left rows carry a NULL payload struct)
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    for c in value_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    lt = lt.withColumn("__pay", F.lit(None).cast(rt.schema["__pay"].dataType))
     lt = lt.withColumn("__rts", F.lit(None).cast(right.schema[right_ts].dataType))
     rt = rt.withColumn("__rts", F.col("__ts"))
 
@@ -89,15 +105,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction}")
 
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
-    matched = u
-    out_cols = {}
+    # ONE last() over the struct payload: the matched row is atomic —
+    # its ts and ALL its values come from the same right row
+    matched = u.withColumn("__m", F.last(F.col("__pay"), ignorenulls=True).over(w))
+    matched = matched.withColumn("__mts", F.col("__m").getField("__mts"))
     for c in value_cols:
-        out_cols[c] = F.last(F.col(c), ignorenulls=True).over(w)
-    matched_ts = F.last(F.col("__rts"), ignorenulls=True).over(w)
-
-    matched = matched.withColumn("__mts", matched_ts)
-    for c, e in out_cols.items():
-        matched = matched.withColumn(f"{c}{suffix}", e)
+        matched = matched.withColumn(f"{c}{suffix}", F.col("__m").getField(c))
 
     res = matched.filter(F.col("__side") == l_tag)
 
@@ -113,7 +126,7 @@ def asof_join(
         res = res.withColumn("__mts", F.when(within, F.col("__mts")))
 
     res = res.withColumn(f"{right_ts}{suffix}", F.col("__mts"))
-    return res.drop("__ts", "__side", "__rts", "__mts", *value_cols)
+    return res.drop("__ts", "__side", "__rts", "__mts", "__m", "__pay")
 
 
 def bucketed_asof_join(
@@ -154,6 +167,10 @@ def bucketed_asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in keys + [right_ts]]
+    # same NTZ/DST hazard as sessionize: bucket ids come from epoch
+    # arithmetic whose NTZ→TZ cast offset must be constant
+    _require_utc_for_ntz(left, left_ts, "bucketed_asof_join")
+    _require_utc_for_ntz(right, right_ts, "bucketed_asof_join")
     sec = _interval_seconds(bucket)
     l2 = left.withColumn("__bkt", F.floor(F.unix_timestamp(F.col(left_ts)) / sec))
     r2 = right.withColumn("__bkt", F.floor(F.unix_timestamp(F.col(right_ts)) / sec))
@@ -185,14 +202,23 @@ def bucketed_asof_join(
     )
     out = ib.join(carry, on=keys + ["__bkt"], how="left")
     mts_col = f"{right_ts}{suffix}"
+    # carry applies only when the bucket had NO match (matched ts null).
+    # Deciding per VALUE column (coalesce) would override a legitimate
+    # in-bucket match whose value is NULL with a stale earlier-bucket
+    # value — the matched row is atomic, same contract as asof_join.
+    out = out.withColumn("__mib", F.col(mts_col).isNotNull())
     out = out.withColumn(
         mts_col,
-        F.coalesce(F.col(mts_col), F.col("__carry").getField(right_ts)),
+        F.when(F.col("__mib"), F.col(mts_col)).otherwise(
+            F.col("__carry").getField(right_ts)
+        ),
     )
     for c in value_cols:
         out = out.withColumn(
             f"{c}{suffix}",
-            F.coalesce(F.col(f"{c}{suffix}"), F.col("__carry").getField(c)),
+            F.when(F.col("__mib"), F.col(f"{c}{suffix}")).otherwise(
+                F.col("__carry").getField(c)
+            ),
         )
     if tolerance is not None:
         if backward:
@@ -202,7 +228,7 @@ def bucketed_asof_join(
         for c in value_cols:
             out = out.withColumn(f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}")))
         out = out.withColumn(mts_col, F.when(within, F.col(mts_col)))
-    return out.drop("__bkt", "__carry")
+    return out.drop("__bkt", "__carry", "__mib")
 
 
 

@@ -13,6 +13,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from featurewiz_spark.cache import scoped_persist
+
+_KEY = "__fw_gb_key"
+
+
+def _null_safe_merge_back(df: DataFrame, c: str, tbl: DataFrame) -> DataFrame:
+    """Broadcast left join of a fitted per-category table, matching the
+    NULL category too — pandas merge treats NaN keys as equal
+    (reference J1 semantics), while Spark's equality join silently gives
+    NULL-category rows no features. The fitted key is renamed to a
+    reserved name pre-join so dropping it can never remove a user
+    column."""
+    t = tbl.withColumnRenamed(c, _KEY)
+    return df.join(
+        broadcast(t), on=df[c].eqNullSafe(t[_KEY]), how="left"
+    ).drop(_KEY)
+
 # agg name → builder(col) (reference func_set, my_encoders.py:495-497)
 _AGG_BUILDERS = {
     "count": lambda c: F.count(c),
@@ -20,7 +37,7 @@ _AGG_BUILDERS = {
     "mean": lambda c: F.avg(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
-    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+    "median": lambda c: F.expr(f"percentile(`{c}`, 0.5)"),
     "std": lambda c: F.stddev(c),
     "var": lambda c: F.variance(c),
     "skew": lambda c: F.skewness(c),
@@ -28,8 +45,8 @@ _AGG_BUILDERS = {
     "mode": lambda c: F.mode(c),
     "prod": lambda c: F.product(c),
     "sem": lambda c: F.stddev(c) / F.sqrt(F.count(c)),
-    "quantile25": lambda c: F.expr(f"percentile({c}, 0.25)"),
-    "quantile75": lambda c: F.expr(f"percentile({c}, 0.75)"),
+    "quantile25": lambda c: F.expr(f"percentile(`{c}`, 0.25)"),
+    "quantile75": lambda c: F.expr(f"percentile(`{c}`, 0.75)"),
 }
 
 # 100TB scale path: exact percentile forces ObjectHashAggregate (no
@@ -86,7 +103,11 @@ def groupby_aggregate(
                 exprs.append(builder(n).alias(f"{n}_by_{c}_{a}"))
         if not exprs:
             continue
-        agg_tbl = df.groupBy(c).agg(*exprs)
+        # persist the (≤cat_limit-row) aggregate: the zero-variance
+        # stats action and the merge-back join would otherwise each
+        # re-run the full groupBy scan of df (the lazy-plan
+        # re-execution pathology); released via cache.release_caches()
+        agg_tbl = scoped_persist(df.groupBy(c).agg(*exprs))
         if drop_zero_variance:
             # drop generated cols whose variance across categories is 0
             # (reference my_encoders.py:554-561)
@@ -97,7 +118,7 @@ def groupby_aggregate(
             keep = [g for g in gen if stats[g] is None or stats[g] > 0]
             agg_tbl = agg_tbl.select(c, *keep)
         fitted[c] = agg_tbl
-        out = out.join(broadcast(agg_tbl), on=c, how="left")
+        out = _null_safe_merge_back(out, c, agg_tbl)
     return out, fitted
 
 
@@ -111,7 +132,10 @@ def apply_fitted_aggregates(
     out = df
     for c, tbl in fitted.items():
         gen = [f.name for f in tbl.schema.fields if f.name != c]
-        out = out.join(broadcast(tbl), on=c, how="left")
+        # null-safe like the fit path: a NULL category is a SEEN key
+        # (its fitted row exists) and must encode identically at fit and
+        # transform — only genuinely unseen keys take the fill
+        out = _null_safe_merge_back(out, c, tbl)
         if fill is not None:
             out = out.withColumns(
                 {g: F.coalesce(F.col(g), F.lit(fill)) for g in gen}
@@ -173,12 +197,18 @@ def trend_seasonality(
     / sum(value) by ts; seasonality = value / trend.
 
     Spark-first: two window sums over different partitionings — no join.
+    try_divide: under Spark 4's default ANSI mode a zero denominator
+    (all values zero for a ts, or cancelling signs) would THROW
+    DIVIDE_BY_ZERO and abort the job; we yield NULL instead (pandas
+    yields inf/NaN there — NULL flows through the engine's
+    missing-value machinery rather than poisoning downstream features;
+    deviation documented).
     """
     w_ct = Window.partitionBy(cat, ts)
     w_t = Window.partitionBy(ts)
-    trend = F.sum(value).over(w_ct) / F.sum(value).over(w_t)
+    trend = F.try_divide(F.sum(value).over(w_ct), F.sum(value).over(w_t))
     return df.withColumn(trend_col, trend).withColumn(
-        season_col, F.col(value) / F.col(trend_col)
+        season_col, F.try_divide(F.col(value), F.col(trend_col))
     )
 
 
@@ -195,16 +225,21 @@ def ranking_aggregate(
 
     method ∈ {min: rank, dense: dense_rank, first: row_number,
     average: rank + (tie_count-1)/2, percent: percent_rank}.
+
+    tie_break applies ONLY to method='first' (row_number needs a total
+    order): for the shared-tie methods, ranking over (order_col +
+    tie_break) would RESOLVE the ties pandas rank() shares — e.g.
+    values [5, 5] must both rank 1.5 under 'average', not 1.5/2.5.
     """
     out_col = out_col or f"{order_col}_rank_{method}"
-    order = [F.col(order_col)] + [F.col(c) for c in (tie_break or [])]
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
     if method == "min":
         e = F.rank().over(w)
     elif method == "dense":
         e = F.dense_rank().over(w)
     elif method == "first":
-        e = F.row_number().over(w)
+        order = [F.col(order_col)] + [F.col(c) for c in (tie_break or [])]
+        e = F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
     elif method == "percent":
         e = F.percent_rank().over(w)
     elif method == "average":

@@ -38,8 +38,30 @@ def _gram_partials(df: DataFrame, cols: list[str]) -> tuple[np.ndarray, np.ndarr
     partials per partition are a single row each, so the driver combines
     #partitions tiny rows regardless of data size (the treeReduce Gram
     accumulation called for by the north star).
+
+    Values are SHIFTED by the dataset's first row before accumulating
+    (one cheap first() action): covariance/correlation are exactly
+    shift-invariant, but the raw-moment formula cov = E[x²] − E[x]²
+    suffers catastrophic cancellation for columns with mean ≫ std —
+    epoch-seconds (~1.7e9, std in hours) lose ALL variance precision in
+    float64 and corrupt every correlation involving them. Shifting by a
+    real data point makes accumulated values O(spread), so the
+    subtraction is well-conditioned. Returned (s, g) are of the shifted
+    data; callers use them only through shift-invariant quantities.
     """
     k = len(cols)
+    first = df.select(*cols).first()
+    if first is not None:
+        shift = np.array(
+            [
+                0.0 if v is None or (isinstance(v, float) and np.isnan(v))
+                else float(v)
+                for v in first
+            ],
+            dtype=np.float64,
+        )
+    else:
+        shift = np.zeros(k)
     schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -55,6 +77,7 @@ def _gram_partials(df: DataFrame, cols: list[str]) -> tuple[np.ndarray, np.ndarr
         for pdf in batches:
             X = pdf[cols].to_numpy(dtype=np.float64)
             X = np.nan_to_num(X, nan=0.0)  # reference fillna(0), :96-99
+            X = X - shift  # conditioning shift (see docstring)
             n += X.shape[0]
             s += X.sum(axis=0)
             g += X.T @ X

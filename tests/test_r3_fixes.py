@@ -244,6 +244,117 @@ def test_iceberg_without_catalog_raises(spark):
         write_table(spark.range(3), "local.t.ice", table_format="iceberg")
 
 
+def test_correlation_large_mean_stability(spark):
+    """cov = E[x²] − E[x]² cancels catastrophically for mean ≫ std
+    (epoch-seconds columns); the conditioning shift must keep exact
+    correlations (review finding r3)."""
+    from featurewiz_spark.selection.sulov import correlation_matrix
+
+    rng = np.random.default_rng(5)
+    base = 1.7e9 + rng.standard_normal(4000)  # mean 1.7e9, std 1
+    pdf = pd.DataFrame(
+        {"a": base, "b": base * 2.0 + 10.0, "c": rng.standard_normal(4000)}
+    )
+    cm = correlation_matrix(spark.createDataFrame(pdf), ["a", "b", "c"])
+    assert abs(cm.loc["a", "b"] - 1.0) < 1e-9   # perfectly correlated
+    assert cm.loc["a", "c"] < 0.2               # independent
+
+
+def test_trend_seasonality_zero_denominator_yields_null(spark):
+    """A zero per-ts sum used to THROW DIVIDE_BY_ZERO under ANSI mode
+    (review finding r3); it must yield NULL now."""
+    from featurewiz_spark.operators.groupby import trend_seasonality
+
+    df = spark.createDataFrame(
+        [("x", 1, 0.0), ("y", 1, 0.0), ("x", 2, 3.0), ("y", 2, 1.0)],
+        "cat string, ts int, v double",
+    )
+    rows = {(r["cat"], r["ts"]): r for r in
+            trend_seasonality(df, "cat", "ts", "v").collect()}
+    assert rows[("x", 1)]["trend"] is None        # 0/0 → NULL, no crash
+    assert abs(rows[("x", 2)]["trend"] - 0.75) < 1e-12
+
+
+def test_ranking_average_shares_ties_despite_tie_break(spark):
+    """pandas rank(method='average') gives tied values the SAME rank;
+    tie_break must not resolve ties for shared-tie methods (review
+    finding r3)."""
+    from featurewiz_spark.operators.groupby import ranking_aggregate
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (1, 5.0, 11), (1, 7.0, 12)], "k int, v double, rid int"
+    )
+    got = {r["rid"]: r["r"] for r in ranking_aggregate(
+        df, ["k"], "v", method="average", out_col="r", tie_break=["rid"]
+    ).collect()}
+    assert got[10] == 1.5 and got[11] == 1.5 and got[12] == 3.0
+
+
+def test_groupby_null_category_matches_fitted_row(spark):
+    """pandas merge matches NaN keys; the merge-back and the test-side
+    replay must treat a NULL category as a SEEN key (review finding
+    r3)."""
+    from featurewiz_spark.operators.groupby import (
+        apply_fitted_aggregates,
+        groupby_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "c string, v double",
+    )
+    out, fitted = groupby_aggregate(df, ["c"], ["v"], aggs=["mean"])
+    vals = {r["c"]: r["v_by_c_mean"] for r in out.collect()}
+    assert vals[None] == 15.0 and vals["a"] == 2.0
+    replay = apply_fitted_aggregates(df, fitted, fill=0.0)
+    rvals = {r["c"]: r["v_by_c_mean"] for r in replay.collect()}
+    assert rvals[None] == 15.0  # fit and transform encode identically
+
+
+def test_asof_null_right_value_stays_null(spark):
+    """A matched right row whose value is NULL must yield NULL (pandas
+    merge_asof semantics) — per-column last(ignorenulls) used to
+    substitute an OLDER row's value and report it within the newer
+    row's tolerance. The bucketed variant's carry must also not
+    override a null-valued in-bucket match (review findings r3)."""
+    from featurewiz_spark.operators.asof import asof_join, bucketed_asof_join
+
+    left = spark.createDataFrame(
+        [("A", "2024-01-10 00:00:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("A", "2023-11-01 00:00:00", 5.0), ("A", "2024-01-10 00:00:00", None)],
+        "k string, rts string, score double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    got = asof_join(left, right, "k", "ts", "rts", tolerance="2 days").collect()[0]
+    assert got["score_asof"] is None          # matched row's value IS null
+    assert got["rts_asof"] is not None        # ...and it DID match (ts kept)
+
+    got2 = bucketed_asof_join(
+        left, right, "k", "ts", "rts", tolerance="2 days", bucket="30 days"
+    ).collect()[0]
+    assert got2["score_asof"] is None         # carry must not resurrect 5.0
+
+
+def test_asof_left_column_collision_safe(spark):
+    """A right value column named like a left column must not clobber
+    the left data; an output-name clash must raise."""
+    from featurewiz_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", "2024-01-10 00:00:00", 99.0)], "k string, ts string, score double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 00:00:00", 5.0)], "k string, rts string, score double"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    got = asof_join(left, right, "k", "ts", "rts").collect()[0]
+    assert got["score"] == 99.0 and got["score_asof"] == 5.0
+
+    with pytest.raises(ValueError, match="score_asof"):
+        asof_join(left.withColumn("score_asof", F.lit(0.0)), right, "k", "ts", "rts")
+
+
 def test_minhash_short_docs_do_not_crash(spark):
     """Docs with fewer than shingle_k tokens must hash, not abort:
     element_at past the token array THROWS under Spark 4 ANSI mode —
