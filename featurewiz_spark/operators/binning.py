@@ -22,7 +22,7 @@ def quantile_bin(
     qs = [i / bins for i in range(1, bins)]
     if exact:
         edges = df.agg(
-            F.expr(f"percentile({col}, array({','.join(map(str, qs))}))")
+            F.expr(f"percentile(`{col}`, array({','.join(map(str, qs))}))")
         ).first()[0]
     else:
         edges = df.approxQuantile(col, qs, 0.001)
@@ -194,7 +194,10 @@ def kmeans_bin_edges(
         return []
     w = (hi - lo) / hist_bins
     hist = (
-        df.select(
+        # drop NULLs explicitly: they would surface as a b=None histogram
+        # row and crash the driver-side midpoint arithmetic
+        df.where(F.col(col).isNotNull())
+        .select(
             F.least(
                 F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(hist_bins - 1)
             ).alias("b")
@@ -249,7 +252,8 @@ def gmm_bin_params(
         return [(1.0, lo, 1.0)]
     w = (hi - lo) / hist_bins
     hist = (
-        df.select(
+        df.where(F.col(col).isNotNull())  # b=None row would crash below
+        .select(
             F.least(
                 F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(hist_bins - 1)
             ).alias("b")

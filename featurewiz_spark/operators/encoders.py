@@ -91,10 +91,16 @@ def apply_label_encoding(
     the unseen value (reference my_encoders.py:103-111 assigns max+1
     incrementally in encounter order; we use deterministic value order)."""
     max_code = mapping.agg(F.max("code")).first()[0]
+    # NULL-SAFE anti join: a plain on="value" never matches NULL=NULL,
+    # so a NULL test value would be re-added as "unseen" even when the
+    # fitted mapping already holds a NULL row — and the eqNullSafe
+    # application join would then match BOTH rows, duplicating every
+    # NULL input row with conflicting codes.
+    m = mapping.select(F.col("value").alias("__mv"))
     unseen = (
         df.select(F.col(col).alias("value"))
         .distinct()
-        .join(mapping.select("value"), on="value", how="left_anti")
+        .join(m, on=F.col("value").eqNullSafe(F.col("__mv")), how="left_anti")
     )
     w = Window.orderBy(F.col("value").asc_nulls_last())
     unseen_map = unseen.select(
@@ -286,13 +292,26 @@ def ordered_target_encode(
     construction: each row sees only strictly-earlier rows of its
     category: (sum(y) over past + w·prior) / (count over past + w).
     Reference CatBoostEncoder semantics (settings.py:26) re-derived as a
-    running window (SURVEY.md §2.4 A7)."""
+    running window (SURVEY.md §2.4 A7).
+
+    The frame is a RANGE over the (micro-second) time value, not ROWS:
+    a rows-frame would let rows sharing a timestamp see each other's
+    targets in arbitrary per-run order — both label leakage and
+    nondeterminism. Same-ts peers are excluded ("strictly earlier"
+    taken literally)."""
+    from pyspark.sql import types as T
+
     if prior is None:
         prior = df.agg(F.avg(target)).first()[0]
+    tdt = df.schema[ts].dataType
+    if isinstance(tdt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        okey = F.unix_micros(F.col(ts).cast("timestamp"))
+    else:
+        okey = F.col(ts)
     w = (
         Window.partitionBy(col)
-        .orderBy(F.col(ts))
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(okey)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     run_sum = F.coalesce(F.sum(target).over(w), F.lit(0.0))
     run_cnt = F.coalesce(F.count(target).over(w), F.lit(0))
@@ -404,6 +423,11 @@ def contrast_encode(
         categories = sorted(
             r[0] for r in df.select(col).distinct().collect() if r[0] is not None
         )
+    if not categories:
+        raise ValueError(
+            f"contrast_encode({col!r}): no non-null categories to encode "
+            "(all-NULL column) — drop the column or impute first"
+        )
     k = len(categories)
     mat = _contrast_matrix(kind, k)
     rows = [(categories[i], *mat[i]) for i in range(k)]
@@ -424,6 +448,11 @@ def basen_encode(
     if categories is None:
         categories = sorted(
             r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+    if not categories:
+        raise ValueError(
+            f"basen_encode({col!r}): no non-null categories to encode "
+            "(all-NULL column) — drop the column or impute first"
         )
     k = len(categories)
     n_digits = max(1, math.ceil(math.log(k + 1, base)))
@@ -451,9 +480,23 @@ def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
         categories = sorted(
             r[0] for r in df.select(col).distinct().collect() if r[0] is not None
         )
+    # deterministic unique names: sanitizing can collide ('a b' vs
+    # 'a_b') — uniquify in sorted-category order so fit and replay
+    # derive identical names. NULL rows get 0 (not NULL) indicators:
+    # (col == c) is NULL for them and would leak NaNs downstream.
+    names: dict = {}
+    used = set(df.columns)
+    for c in categories:
+        base = f"{col}_is_{str(c).replace(' ', '_')}"
+        name, i = base, 2
+        while name in used:
+            name = f"{base}__{i}"
+            i += 1
+        names[c] = name
+        used.add(name)
     out = df.withColumns(
         {
-            f"{col}_is_{str(c).replace(' ', '_')}": (F.col(col) == F.lit(c)).cast("int")
+            names[c]: F.coalesce((F.col(col) == F.lit(c)).cast("int"), F.lit(0))
             for c in categories
         }
     )
@@ -513,7 +556,7 @@ def clean_nans(
     exprs = []
     for c in num_cols:
         if stat == "median":
-            exprs.append(F.expr(f"percentile({c}, 0.5)").alias(c))
+            exprs.append(F.expr(f"percentile(`{c}`, 0.5)").alias(c))
         elif stat == "approx_median":
             exprs.append(F.percentile_approx(c, 0.5).alias(c))
         elif stat == "mean":
@@ -544,8 +587,8 @@ def standard_scale(
             aggs += [F.min(c).alias(f"{c}__a"), F.max(c).alias(f"{c}__b")]
         elif method == "robust":
             aggs += [
-                F.expr(f"percentile({c}, 0.5)").alias(f"{c}__a"),
-                (F.expr(f"percentile({c}, 0.75)") - F.expr(f"percentile({c}, 0.25)")).alias(f"{c}__b"),
+                F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__a"),
+                (F.expr(f"percentile(`{c}`, 0.75)") - F.expr(f"percentile(`{c}`, 0.25)")).alias(f"{c}__b"),
             ]
         elif method == "maxabs":
             aggs += [F.lit(0.0).alias(f"{c}__a"), F.max(F.abs(F.col(c))).alias(f"{c}__b")]

@@ -38,6 +38,10 @@ def split_n_ways(
     for w in weights:
         acc += w / total
         bounds.append(acc)
+    # float accumulation can end at 0.99999...8 while percent_rank of
+    # the last row is exactly 1.0 — that row would fall outside EVERY
+    # slice. The final bound is 1.0 by definition; pin it.
+    bounds[-1] = 1.0
     if how == "random":
         return df.randomSplit(list(weights), seed=seed)
     if how == "sequential":
@@ -88,16 +92,26 @@ def stratified_sample(
     deterministic across runs, partitionings, and cluster sizes, and
     re-derivable by any SQL engine (driver oracle q53). Requires
     `hash_col` (a unique row id)."""
-    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    # sentinel-filled strata key: isin()/sampleBy() never match a NULL
+    # stratum, which silently dropped the whole NULL class even when it
+    # passed the min_class_rows gate. The string-cast sentinel keeps the
+    # NULL class a first-class stratum for both methods (identical
+    # partitions for non-null values, so the hash-mode selected set is
+    # unchanged on null-free data — q53 parity).
+    skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("__fw_null__"))
+    kdf = df.withColumn("__strata", skey)
+    counts = {r[0]: r[1] for r in kdf.groupBy("__strata").count().collect()}
     keep = {k: v for k, v in counts.items() if v > min_class_rows}
     total = sum(keep.values())
     if total <= n_rows:
-        return df.filter(F.col(strata_col).isin(list(keep)))
+        return kdf.filter(F.col("__strata").isin(list(keep))).drop("__strata")
     frac = n_rows / total
-    kept = df.filter(F.col(strata_col).isin(list(keep)))
+    kept = kdf.filter(F.col("__strata").isin(list(keep)))
     if method == "bernoulli":
         fractions = {k: min(1.0, frac) for k in keep}
-        return kept.sampleBy(strata_col, fractions=fractions, seed=seed)
+        return kept.sampleBy("__strata", fractions=fractions, seed=seed).drop(
+            "__strata"
+        )
     if method != "hash":
         raise ValueError(method)
     if hash_col is None:
@@ -107,13 +121,13 @@ def stratified_sample(
     h = F.conv(
         F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(hash_col))
-    cnt_w = Window.partitionBy(strata_col)
+    w = Window.partitionBy("__strata").orderBy(h, F.col(hash_col))
+    cnt_w = Window.partitionBy("__strata")
     return (
         kept.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(cnt_w))
         .filter(F.col("__rn") <= F.floor(F.lit(frac) * F.col("__n")))
-        .drop("__rn", "__n")
+        .drop("__rn", "__n", "__strata")
     )
 
 

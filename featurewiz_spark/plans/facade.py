@@ -147,12 +147,16 @@ class FeatureWizSpark:
         return df
 
     def _replay_mapping(self, df: DataFrame, col: str, tbl: DataFrame,
-                        fill: float | None) -> DataFrame:
+                        fill) -> DataFrame:
         from featurewiz_spark.operators.encoders import _join_fitted
 
         gen = [f.name for f in tbl.schema.fields if f.name != "value"]
         df = _join_fitted(df, col, tbl)
-        if fill is not None:
+        if isinstance(fill, dict):  # per-generated-column fill values
+            df = df.withColumns(
+                {g: F.coalesce(F.col(g), F.lit(fill[g])) for g in gen if g in fill}
+            )
+        elif fill is not None:
             df = df.withColumns(
                 {g: F.coalesce(F.col(g), F.lit(fill)) for g in gen}
             )
@@ -198,28 +202,55 @@ class FeatureWizSpark:
                 elif enc == "target":
                     if fit:
                         df, tbl = target_encode(df, c, self._target)
-                        self._cat_enc_state[key] = tbl
+                        # unseen-at-transform → the grand mean, matching
+                        # fit-time's own coalesce (fill=None left NULLs
+                        # the downstream model never saw at fit)
+                        gm = float(df.agg(F.avg(self._target)).first()[0])
+                        self._cat_enc_state[key] = (tbl, gm)
                     else:
-                        df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
+                        tbl, gm = self._cat_enc_state[key]
+                        df = self._replay_mapping(df, c, tbl, gm)
                 elif enc == "james_stein":
                     if fit:
                         df, tbls = james_stein_groupby(df, [c], self._num_vars)
-                        self._cat_enc_state[key] = tbls[c]
+                        # unseen (n=0) shrinks fully to the global mean
+                        # of each pseudo-target numeric — store per-col
+                        gm_row = df.agg(
+                            *[F.avg(n).alias(n) for n in self._num_vars]
+                        ).first()
+                        fills = {
+                            f"GroupEncoded_{c}_{n}": float(gm_row[n])
+                            for n in self._num_vars
+                        }
+                        self._cat_enc_state[key] = (tbls[c], fills)
                     else:
-                        df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
+                        tbl, fills = self._cat_enc_state[key]
+                        df = self._replay_mapping(df, c, tbl, fills)
                 elif enc == "glmm":
                     if fit:
                         # reference: GLMMEncoder(binomial_target=True) for
-                        # classification targets (logit-scale random effect)
+                        # BINARY targets only — the one-step logit
+                        # linearization assumes y ∈ {0,1}; a multiclass
+                        # integer target would explode the working
+                        # response, so Multi_Classification falls back to
+                        # the gaussian family (documented deviation)
                         fam = (
                             "binomial"
-                            if (self.problem_type or "").endswith("Classification")
+                            if self.problem_type == "Binary_Classification"
                             else "gaussian"
                         )
                         df, tbl = glmm_encode(df, c, self._target, family=fam)
-                        self._cat_enc_state[key] = tbl
+                        # unseen: random effect 0 on the logit scale /
+                        # grand mean for gaussian (glmm_encode docstring)
+                        gm = (
+                            0.0
+                            if fam == "binomial"
+                            else float(df.agg(F.avg(self._target)).first()[0])
+                        )
+                        self._cat_enc_state[key] = (tbl, gm)
                     else:
-                        df = self._replay_mapping(df, c, self._cat_enc_state[key], None)
+                        tbl, gm = self._cat_enc_state[key]
+                        df = self._replay_mapping(df, c, tbl, gm)
                 else:
                     raise ValueError(f"unknown category encoder: {enc}")
         return df

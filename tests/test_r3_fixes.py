@@ -244,6 +244,135 @@ def test_iceberg_without_catalog_raises(spark):
         write_table(spark.range(3), "local.t.ice", table_format="iceberg")
 
 
+def test_apply_label_encoding_null_no_duplication(spark):
+    """NULL is a SEEN value when the mapping holds a NULL row: the
+    null-unsafe anti-join re-added it as unseen and the eqNullSafe
+    application join then matched BOTH rows, duplicating every NULL
+    input row (review finding r3-b)."""
+    from featurewiz_spark.operators.encoders import (
+        apply_label_encoding,
+        label_encode,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "rid int, v string"
+    )
+    _, mapping = label_encode(train, "v", order_col="rid")
+    test = spark.createDataFrame(
+        [(10, None), (11, "a"), (12, "zz")], "rid int, v string"
+    )
+    out = apply_label_encoding(test, "v", mapping)
+    assert out.count() == 3  # no duplication
+    codes = {r["rid"]: r["v_code"] for r in out.collect()}
+    null_code = {r["value"]: r["code"] for r in mapping.collect()}[None]
+    assert codes[10] == null_code     # null is SEEN → fitted code
+    assert codes[12] == 3             # unseen → max_code + 1
+
+
+def test_split_n_ways_no_row_lost(spark):
+    """Float bound accumulation must not orphan the percent_rank==1.0
+    row (review finding r3-b)."""
+    from featurewiz_spark.operators.sampling import split_n_ways
+
+    df = spark.createDataFrame([(i, i) for i in range(9)], "id int, ts int")
+    parts = split_n_ways(df, [1, 1, 1], how="sequential", time_col="ts")
+    sizes = [p.count() for p in parts]
+    assert sum(sizes) == 9 and sizes == [3, 3, 3]
+    assert parts[-1].filter("id = 8").count() == 1  # the pr==1.0 row
+
+
+def test_stratified_sample_keeps_null_stratum(spark):
+    from featurewiz_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "rid int, s string")
+    out = stratified_sample(df, "s", 100, method="hash", hash_col="rid")
+    got = out.groupBy("s").count().collect()
+    by = {r["s"]: r["count"] for r in got}
+    assert by.get(None, 0) == 50 and by["a"] == 50  # both strata sampled
+
+
+def test_ordered_te_same_ts_rows_do_not_leak(spark):
+    """Rows sharing a timestamp must not see each other's targets
+    (range frame, strictly earlier — review finding r3-b)."""
+    from featurewiz_spark.operators.encoders import ordered_target_encode
+
+    df = spark.createDataFrame(
+        [("c", 1, 10.0), ("c", 1, 90.0), ("c", 2, 50.0)],
+        "cat string, ts int, y double",
+    )
+    out = ordered_target_encode(df, "cat", "y", "ts", prior=0.0,
+                                prior_weight=1.0)
+    rows = sorted(out.collect(), key=lambda r: (r["ts"], r["y"]))
+    # both ts=1 rows see NO prior rows → encoding = prior = 0.0
+    assert rows[0]["cat_ordered_te"] == 0.0
+    assert rows[1]["cat_ordered_te"] == 0.0
+    # ts=2 row sees both ts=1 rows: (10+90+0)/(2+1)
+    assert abs(rows[2]["cat_ordered_te"] - 100.0 / 3) < 1e-12
+
+
+def test_one_hot_null_rows_and_name_collisions(spark):
+    from featurewiz_spark.operators.encoders import one_hot_encode
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a_b"), (3, None)], "rid int, v string"
+    )
+    out, cats = one_hot_encode(df, "v")
+    ind_cols = [c for c in out.columns if c.startswith("v_is_")]
+    assert len(ind_cols) == 2  # 'a b' and 'a_b' keep distinct columns
+    null_row = out.filter("rid = 3").collect()[0]
+    assert all(null_row[c] == 0 for c in ind_cols)  # 0, not NULL
+
+
+def test_kmeans_gmm_bins_tolerate_nulls(spark):
+    from featurewiz_spark.operators.binning import (
+        gmm_bin_params,
+        kmeans_bin_edges,
+    )
+
+    pdf = pd.DataFrame({"x": [1.0, 2, 3, 4, 5, 6, 7, 8, None]})
+    df = spark.createDataFrame(pdf)
+    assert len(kmeans_bin_edges(df, "x", bins=3)) == 2
+    assert len(gmm_bin_params(df, "x", bins=2)) == 2
+
+
+def test_contrast_all_null_raises_cleanly(spark):
+    from featurewiz_spark.operators.encoders import basen_encode, contrast_encode
+
+    df = spark.createDataFrame([(1, None), (2, None)], "rid int, v string")
+    with pytest.raises(ValueError, match="non-null"):
+        contrast_encode(df, "v")
+    with pytest.raises(ValueError, match="non-null"):
+        basen_encode(df, "v")
+
+
+def test_facade_unseen_category_fills_not_null(spark):
+    """Transform-time unseen categories must encode to the fitted grand
+    mean, not NULL (review finding r3-b)."""
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "cat": ["a", "b", "c", "d"] * 50,
+            "x": rng.standard_normal(200),
+            "y": rng.standard_normal(200),
+        }
+    )
+    train = spark.createDataFrame(pdf)
+    fw = FeatureWizSpark(corr_limit=0.9, feature_engg=[],
+                         category_encoders=["target"])
+    fw.fit_transform(train, "y")
+    test = spark.createDataFrame(
+        pd.DataFrame({"cat": ["zzz_unseen"] * 5, "x": rng.standard_normal(5),
+                      "y": rng.standard_normal(5)})
+    )
+    out = fw.transform(test)
+    enc_cols = [c for c in out.columns if "target_enc" in c]
+    if enc_cols:  # column survives selection on this tiny fixture
+        assert out.filter(F.col(enc_cols[0]).isNull()).count() == 0
+
+
 def test_correlation_large_mean_stability(spark):
     """cov = E[x²] − E[x]² cancels catastrophically for mean ≫ std
     (epoch-seconds columns); the conditioning shift must keep exact
