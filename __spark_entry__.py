@@ -1327,11 +1327,11 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(text, '\\s+')) AS q_n_words,
                    round((length(text) - len(string_split_regex(text, '\\s+')) + 1)
                          / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
-                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
                          / greatest(length(text), 1), 6) AS punct_ratio,
-                   round(len(list_intersect(
+                   round(len(list_filter(
                            list_transform(string_split_regex(text, '\\s+'), x -> lower(x)),
-                           ['the','and','of','to','a','in','is','that','it','for']))
+                           x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
                          / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS stopword_ratio
             FROM documents
         """,
@@ -1549,16 +1549,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'event_type',
                    CASE WHEN nn_et = 0 OR d_et <= 1 OR (n - nn_et) >= 0.9 * n THEN 'cols_delete'
                         WHEN d_et = 2 THEN 'string_bool_vars'
-                        WHEN d_et >= 0.98 * nn_et AND n > 100 THEN 'id_vars'
                         WHEN xlen_et >= 50 AND d_et >= 0.9 * nn_et THEN 'nlp_vars'
+                        WHEN d_et >= 0.98 * nn_et AND n > 100 THEN 'id_vars'
                         WHEN mlen_et >= 30 OR d_et > 35 THEN 'discrete_string_vars'
                         ELSE 'cat_vars' END FROM s
             UNION ALL
             SELECT 'props',
                    CASE WHEN nn_pr = 0 OR d_pr <= 1 OR (n - nn_pr) >= 0.9 * n THEN 'cols_delete'
                         WHEN d_pr = 2 THEN 'string_bool_vars'
-                        WHEN d_pr >= 0.98 * nn_pr AND n > 100 THEN 'id_vars'
                         WHEN xlen_pr >= 50 AND d_pr >= 0.9 * nn_pr THEN 'nlp_vars'
+                        WHEN d_pr >= 0.98 * nn_pr AND n > 100 THEN 'id_vars'
                         WHEN mlen_pr >= 30 OR d_pr > 35 THEN 'discrete_string_vars'
                         ELSE 'cat_vars' END FROM s
             UNION ALL
@@ -1797,9 +1797,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
-                   WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
-                   WHEN h_es >= greatest(h_en, h_de) THEN 'es'
-                   WHEN h_en >= h_de THEN 'en'
+                   WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+                   WHEN h_fr >= greatest(h_de, h_es) THEN 'fr'
+                   WHEN h_es >= h_de THEN 'es'
                    ELSE 'de' END AS lang_pred
             FROM h
         """,
@@ -1846,7 +1846,7 @@ def oracle_sql() -> dict[str, str]:
             ), q AS (
                 SELECT doc_id, text,
                        len(string_split_regex(text, '\\s+')) AS q_n_words,
-                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
                          / greatest(length(text), 1) AS pr
                 FROM kept
             ), f AS (
@@ -1868,9 +1868,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, q_n_words,
               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
-                   WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
-                   WHEN h_es >= greatest(h_en, h_de) THEN 'es'
-                   WHEN h_en >= h_de THEN 'en'
+                   WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+                   WHEN h_fr >= greatest(h_de, h_es) THEN 'fr'
+                   WHEN h_es >= h_de THEN 'es'
                    ELSE 'de' END AS lang_pred,
               fp_md5
             FROM h

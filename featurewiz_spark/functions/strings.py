@@ -74,15 +74,19 @@ def sanitize_column_names(df: DataFrame) -> DataFrame:
     """P6 special-char rename + uniquify (EDA_remove_special_chars,
     reference featurewiz/featurewiz.py:3581-3595; Column_Names_Transformer
     my_encoders.py:1953-2032) — driver-side string op, free."""
-    seen: dict[str, int] = {}
+    seen: set[str] = set()
     new = []
     for c in df.columns:
         s = re.sub(r"[^A-Za-z0-9_]", "_", c)
-        if s in seen:
-            seen[s] += 1
-            s = f"{s}_{seen[s]}"
-        else:
-            seen[s] = 0
+        # loop until genuinely unique: the suffixed name itself must be
+        # registered and re-checked, else 'a b','a*b','a_b_1' yields two
+        # 'a_b_1' columns (AMBIGUOUS_REFERENCE downstream — the exact
+        # failure this uniquifier exists to prevent)
+        base, i = s, 0
+        while s in seen:
+            i += 1
+            s = f"{base}_{i}"
+        seen.add(s)
         new.append(s)
     return df.toDF(*new)
 

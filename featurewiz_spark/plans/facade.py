@@ -264,6 +264,31 @@ class FeatureWizSpark:
         self._targets = targets
         self._target = targets[0]
         self.problem_type = analyze_problem_type(df, targets)
+        # non-numeric targets: label-encode with an invertible map AFTER
+        # problem typing (reference featurewiz.py:886-918 — typing runs
+        # on the raw strings, then the ranking/encoder stages need a
+        # numeric target; a raw string target crashed the GBT ranking
+        # stage mid-pipeline). Deterministic sorted-value codes; NULL
+        # targets stay NULL.
+        from pyspark.sql import types as _T
+
+        self._target_maps: dict = {}
+        for t in targets:
+            if isinstance(df.schema[t].dataType, _T.StringType):
+                vals = sorted(
+                    r[0]
+                    for r in df.select(t).distinct().collect()
+                    if r[0] is not None
+                )
+                self._target_maps[t] = {v: i for i, v in enumerate(vals)}
+                mexpr = F.create_map(
+                    *[
+                        x
+                        for v, i in self._target_maps[t].items()
+                        for x in (F.lit(v), F.lit(i))
+                    ]
+                )
+                df = df.withColumn(t, mexpr[F.col(t)].cast("int"))
         tx = classify_columns(df, target=targets)
         self._taxonomy = tx
         self._date_vars = tx.date_vars

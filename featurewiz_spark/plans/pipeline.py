@@ -79,14 +79,16 @@ def documents_curation_pipeline(
     content), quality gating (word count + punctuation ratio), language
     ID, content fingerprint.
 
-    Plan shape: ONE shuffle total — the dedup is a row_number window
-    over the content hash (no groupBy+join-back); everything after is a
-    pure projection that rides the same stage. At 100TB this is
-    scan-bound; the window partitions by a 128-bit hash, so skew is
-    impossible by construction.
+    Plan shape: ONE shuffle total — dedup is a hash aggregate
+    ``min_by(struct(row), id)`` per content hash, NOT a row_number
+    window: the window puts EVERY copy of a duplicated document into
+    one sorted task, and duplicates are the whole point of this stage —
+    a boilerplate page repeated 10^8 times in a Common-Crawl corpus
+    would be an unsplittable straggler. The aggregate's map-side
+    partials collapse duplicates BEFORE the shuffle, so a hot content
+    hash costs one row per map task regardless of its multiplicity.
+    Everything after is a pure projection riding the same stage.
     """
-    from pyspark.sql import Window
-
     from featurewiz_spark.text.stats import (
         add_fingerprint,
         add_language_id,
@@ -94,9 +96,11 @@ def documents_curation_pipeline(
     )
 
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    w = Window.partitionBy(F.md5(norm)).orderBy(F.col(id_col).asc())
-    d = docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    d = d.drop("__rn")
+    d = (
+        docs.groupBy(F.md5(norm).alias("__h"))
+        .agg(F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("__r"))
+        .select("__r.*")
+    )
     d = add_quality_features(d, text_col)
     d = d.filter(
         (F.col("q_n_words") >= min_words)

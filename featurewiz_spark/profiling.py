@@ -141,10 +141,14 @@ def classify_columns(
         if isinstance(dt, T.StringType):
             if p.n_distinct == 2:
                 tx.string_bool_vars.append(c)  # :96-99
-            elif p.n_distinct >= 0.98 * nn and p.n > 100:
-                tx.id_vars.append(c)  # :134-136 (nunique == N)
+            # NLP BEFORE id (reference order: :122-125 precedes
+            # :134-136): real free text is ~all-distinct, so an
+            # id-first check would classify every text column id_vars
+            # and text processing would silently lose it
             elif (p.max_len or 0) >= NLP_MIN_STRLEN and p.n_distinct >= 0.9 * nn:
                 tx.nlp_vars.append(c)  # :122-125
+            elif p.n_distinct >= 0.98 * nn and p.n > 100:
+                tx.id_vars.append(c)  # :134-136 (nunique == N)
             elif (p.mean_len or 0) >= DISCRETE_MIN_MEAN_STRLEN or p.n_distinct > cat_limit:
                 tx.discrete_string_vars.append(c)  # :126-133
             else:

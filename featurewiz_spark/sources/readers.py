@@ -48,13 +48,51 @@ _SPARK_CHARSET = {
 }
 
 
+def _probe_head(path: str, probe_bytes: int) -> bytes:
+    """First bytes of the DECOMPRESSED content: probing the raw bytes of
+    a .gz/.bz2/.xz/.zip file always fails ascii/utf-8 (binary magic) and
+    falls through to iso-8859-1, mojibaking UTF-8 content on read."""
+    low = path.lower()
+    try:
+        if low.endswith(".gz"):
+            import gzip
+
+            with gzip.open(path, "rb") as f:
+                return f.read(probe_bytes)
+        if low.endswith(".bz2"):
+            import bz2
+
+            with bz2.open(path, "rb") as f:
+                return f.read(probe_bytes)
+        if low.endswith(".xz"):
+            import lzma
+
+            with lzma.open(path, "rb") as f:
+                return f.read(probe_bytes)
+        if low.endswith(".zip"):
+            import zipfile
+
+            with zipfile.ZipFile(path) as z:
+                names = z.namelist()
+                if not names:
+                    return b""
+                with z.open(names[0]) as f:
+                    return f.read(probe_bytes)
+    except Exception:
+        return b""
+    with open(path, "rb") as f:
+        return f.read(probe_bytes)
+
+
 def detect_encoding(path: str, probe_bytes: int = 65536) -> str:
     """S1 multi-encoding CSV support, Spark-style: pandas raises
     UnicodeDecodeError and the reference retries the whole read with the
     next encoding; Spark instead silently mojibakes, so we probe the
     first 64KB driver-side against the same chain and hand the first
     clean encoding to the distributed reader (one tiny read, not N full
-    ones). Directories/globs fall back to utf-8."""
+    ones). Compressed files are probed on DECOMPRESSED bytes, and a
+    multibyte sequence cut at the probe boundary does not disqualify an
+    encoding. Directories/globs fall back to utf-8."""
     import glob as _glob
     import os
 
@@ -63,13 +101,23 @@ def detect_encoding(path: str, probe_bytes: int = 65536) -> str:
         candidates = sorted(_glob.glob(os.path.join(path, "*")))
     if not candidates or not os.path.isfile(candidates[0]):
         return "utf-8"
-    with open(candidates[0], "rb") as f:
-        head = f.read(probe_bytes)
+    head = _probe_head(candidates[0], probe_bytes)
     for enc in _ENCODING_CHAIN:
         try:
             head.decode(enc)
             return enc
-        except (UnicodeDecodeError, LookupError):
+        except LookupError:
+            continue
+        except UnicodeDecodeError as ex:
+            # an error within 4 bytes of the probe end is (likely) a
+            # truncated multibyte sequence, not a wrong encoding —
+            # retry on the trimmed head before rejecting
+            if ex.start >= len(head) - 4:
+                try:
+                    head[: ex.start].decode(enc)
+                    return enc
+                except UnicodeDecodeError:
+                    pass
             continue
     return "utf-8"
 
@@ -98,6 +146,30 @@ def read_any(
     for comp in (".gz", ".bz2", ".zip", ".xz"):
         if stripped.endswith(comp):
             stripped = stripped[: -len(comp)]
+    if low.endswith((".zip", ".xz")):
+        # Hadoop ships NO zip/xz codec: Spark would parse the raw
+        # archive bytes as CSV mojibake with no error. Decompress
+        # driver-side to a temp file (what the reference's pandas read
+        # does) and re-dispatch — appropriate for the single-node-sized
+        # files these extensions imply; recompress to gz/parquet for
+        # anything that must be read distributed.
+        import os as _os
+        import tempfile as _tempfile
+
+        suffix = "_" + _os.path.basename(stripped)
+        with _tempfile.NamedTemporaryFile(delete=False, suffix=suffix) as tmp:
+            if low.endswith(".zip"):
+                import zipfile
+
+                with zipfile.ZipFile(path) as z:
+                    with z.open(z.namelist()[0]) as f:
+                        tmp.write(f.read())
+            else:
+                import lzma
+
+                with lzma.open(path, "rb") as f:
+                    tmp.write(f.read())
+        return read_any(spark, tmp.name, sep=sep, header=header, encoding=encoding)
     if stripped.endswith((".parquet", ".pq")):
         return spark.read.parquet(path)
     if stripped.endswith((".feather", ".ftr")):

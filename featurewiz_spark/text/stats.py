@@ -18,26 +18,43 @@ _STOPWORDS = {
 
 def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, word count, mean word length, punctuation
-    ratio, stopword ratio (en), uppercase ratio, digit ratio."""
+    ratio, stopword ratio (en), uppercase ratio, digit ratio.
+
+    Character classes use explicit Unicode properties (\\p{L}, \\p{Nd},
+    \\p{Lu}) rather than Java's ASCII-only \\w / [A-Z]: with \\w every
+    CJK or accented character counts as "punctuation" and the curation
+    gate would delete all non-ASCII documents — fatal for a multilingual
+    training-data pipeline. \\p classes are also RE2-compatible, so the
+    DuckDB oracle computes the identical ratio.
+
+    Stopword ratio counts OCCURRENCES (density), not distinct types:
+    array_intersect capped the numerator at 10, so a 10k-word fluent
+    document scored ≤0.001 while a 20-word snippet scored 0.5 — the
+    opposite of a quality signal."""
     t = F.col(text_col)
     words = F.split(t, r"\s+")
     n_chars = F.length(t)
     n_words = F.size(words)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    stop_hits = F.size(F.array_intersect(F.transform(words, lambda w: F.lower(w)), sw))
+    stop_hits = F.size(
+        F.filter(
+            F.transform(words, lambda w: F.lower(w)),
+            lambda w: F.array_contains(sw, w),
+        )
+    )
     return df.withColumns(
         {
             "q_n_chars": n_chars,
             "q_n_words": n_words,
             "q_mean_word_len": (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)),
             "q_punct_ratio": (
-                n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+                n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
             ) / F.greatest(n_chars, F.lit(1)),
             "q_digit_ratio": (
-                n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+                n_chars - F.length(F.regexp_replace(t, r"\p{Nd}", ""))
             ) / F.greatest(n_chars, F.lit(1)),
             "q_upper_ratio": (
-                n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+                n_chars - F.length(F.regexp_replace(t, r"\p{Lu}", ""))
             ) / F.greatest(n_chars, F.lit(1)),
             "q_stopword_ratio": stop_hits / F.greatest(n_words, F.lit(1)),
         }
@@ -60,8 +77,11 @@ def add_language_id(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
     """Language ID via stopword-hit voting: per language, count
-    distinct stopword hits in the text; argmax wins (tie → 'en').
-    Declarative: transform/array ops over a lowered token array."""
+    distinct stopword hits in the text; argmax wins. Ties break to 'en'
+    first (an explicit priority field in the comparison struct — the
+    bare lexicographic array_max could never pick 'en' over 'es'/'fr'),
+    then to the greatest language code. Declarative: transform/array
+    ops over a lowered token array."""
     toks = F.transform(F.split(F.col(text_col), r"\s+"), lambda w: F.lower(w))
     scores = []
     for lang, words in _STOPWORDS.items():
@@ -69,6 +89,7 @@ def add_language_id(
         scores.append(
             F.struct(
                 F.size(F.array_intersect(toks, sw)).alias("hits"),
+                F.lit(1 if lang == "en" else 0).alias("prio"),
                 F.lit(lang).alias("lang"),
             )
         )

@@ -244,6 +244,95 @@ def test_iceberg_without_catalog_raises(spark):
         write_table(spark.range(3), "local.t.ice", table_format="iceberg")
 
 
+def test_read_any_compressed_formats_and_encoding(spark, tmp_path):
+    """zip/xz have no Hadoop codec (raw archive bytes were parsed as CSV
+    mojibake) and the encoding probe must see DECOMPRESSED bytes
+    (review findings r3-c)."""
+    import gzip
+    import lzma
+    import zipfile
+
+    from featurewiz_spark.sources.readers import read_any
+
+    csv = "name,val\ncafé,1\nnaïve,2\n".encode("utf-8")
+    gz = tmp_path / "d.csv.gz"
+    gz.write_bytes(gzip.compress(csv))
+    z = tmp_path / "d.csv.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        f.writestr("d.csv", csv)
+    xz = tmp_path / "d.csv.xz"
+    xz.write_bytes(lzma.compress(csv))
+    for p in (gz, z, xz):
+        got = {r["name"] for r in read_any(spark, str(p)).collect()}
+        assert got == {"café", "naïve"}, p
+
+
+def test_sanitize_collision_chain(spark):
+    from featurewiz_spark.functions.strings import sanitize_column_names
+
+    df = spark.createDataFrame([(1, 2, 3)], ["a b", "a*b", "a_b_1"])
+    out = sanitize_column_names(df)
+    assert len(set(out.columns)) == 3  # no duplicate generated names
+
+
+def test_quality_features_unicode_and_density(spark):
+    """CJK text is not 'punctuation' (Unicode \\p classes, not ASCII
+    \\w) and the stopword ratio measures OCCURRENCE density, not
+    distinct types capped at 10 (review findings r3-c)."""
+    from featurewiz_spark.text.stats import add_quality_features
+
+    long_en = ("the cat sat on the mat and then the dog ran " * 50).strip()
+    df = spark.createDataFrame(
+        [(1, "你好 世界 这是 中文 文本 测试"), (2, long_en)],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in add_quality_features(df).collect()}
+    assert q[1]["q_punct_ratio"] < 0.05     # CJK chars are letters
+    assert q[2]["q_stopword_ratio"] > 0.25  # density, not capped types
+
+
+def test_langid_tie_prefers_en(spark):
+    from featurewiz_spark.text.stats import add_language_id
+
+    df = spark.createDataFrame([(1, "is es")], "doc_id long, text string")
+    assert add_language_id(df).collect()[0]["lang_pred"] == "en"
+
+
+def test_classify_text_column_is_nlp_not_id(spark):
+    """Free text is ~all-distinct: the NLP rule must fire BEFORE the id
+    rule (reference order) or every text column becomes id_vars."""
+    from featurewiz_spark.profiling import classify_columns
+
+    rows = [(i, f"this is a fairly long unique document number {i} "
+                f"with enough characters to clear the nlp threshold")
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "rid long, body string")
+    tx = classify_columns(df)
+    assert "body" in tx.nlp_vars and "body" not in tx.id_vars
+
+
+def test_facade_string_target(spark):
+    """A string-labeled dataset must survive the full pipeline (the
+    ranking stage crashed on to_numpy(float) before; reference
+    label-encodes non-numeric targets, featurewiz.py:886-918)."""
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame(
+        {
+            "x1": rng.standard_normal(150),
+            "x2": rng.standard_normal(150),
+            "species": [["setosa", "versicolor", "virginica"][i % 3]
+                        for i in range(150)],
+        }
+    )
+    fw = FeatureWizSpark(corr_limit=0.9, feature_engg=[])
+    out = fw.fit_transform(spark.createDataFrame(pdf), "species")
+    assert fw.problem_type == "Multi_Classification"
+    assert fw.features  # selection completed without crashing
+    assert fw._target_maps["species"]["setosa"] == 0
+
+
 def test_apply_label_encoding_null_no_duplication(spark):
     """NULL is a SEEN value when the mapping holds a NULL row: the
     null-unsafe anti-join re-added it as unseen and the eqNullSafe
