@@ -95,11 +95,22 @@ def asof_join(
 
     u = lt.unionByName(rt.select(*lt.columns))
 
+    # final sort key __pay: DUPLICATE right rows at the same (key, ts)
+    # would otherwise be resolved by physical row order (run- and
+    # partitioning-dependent). Ordering by the payload struct makes the
+    # winner deterministic — greatest value struct for backward, least
+    # for forward — and EXACTLY matches the bucketed variant's
+    # max(struct)/min(struct) carry summaries (1M-row checksum
+    # equivalence depends on this; left rows have NULL payloads and are
+    # already separated by the side tag, so the key only orders
+    # right-right ties).
     if direction == "backward":
-        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__rts").asc()]
+        order = [F.col("__ts").asc(), F.col("__side").asc(),
+                 F.col("__rts").asc(), F.col("__pay").asc()]
         frame = (Window.unboundedPreceding, -1)
     elif direction == "forward":
-        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__rts").desc()]
+        order = [F.col("__ts").desc(), F.col("__side").asc(),
+                 F.col("__rts").desc(), F.col("__pay").desc()]
         frame = (Window.unboundedPreceding, -1)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")

@@ -573,6 +573,30 @@ def test_asof_left_column_collision_safe(spark):
         asof_join(left.withColumn("score_asof", F.lit(0.0)), right, "k", "ts", "rts")
 
 
+def test_asof_duplicate_ts_tie_deterministic_and_variant_equal(spark):
+    """Duplicate right rows at the same (key, ts): the window variant
+    resolved ties by physical row order while the bucketed carry used
+    max(struct) — 1M-row probe caught them disagreeing. Both must pick
+    the greatest value struct, deterministically (BENCH/SKEW.md r3)."""
+    from featurewiz_spark.operators.asof import asof_join, bucketed_asof_join
+
+    left = spark.createDataFrame(
+        [("A", "2024-01-10 00:00:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-05 00:00:00", 1.0),
+         ("A", "2024-01-05 00:00:00", 9.0),
+         ("A", "2024-01-05 00:00:00", 4.0)],
+        "k string, rts string, v double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    for reps in (1, 4):  # repartition to shake physical order
+        r = right.repartition(reps)
+        a = asof_join(left, r, "k", "ts", "rts").collect()[0]
+        b = bucketed_asof_join(left, r, "k", "ts", "rts",
+                               bucket="30 days").collect()[0]
+        assert a["v_asof"] == 9.0 == b["v_asof"]
+
+
 def test_minhash_short_docs_do_not_crash(spark):
     """Docs with fewer than shingle_k tokens must hash, not abort:
     element_at past the token array THROWS under Spark 4 ANSI mode —
