@@ -104,19 +104,22 @@ def rolling_agg(
     """W4: rolling (last-k-rows or time-range) and cumulative aggregates.
 
     window_rows=k → rowsBetween(-(k-1), 0); window_range='7 days' →
-    rangeBetween over unix seconds; neither → cumulative
-    (unboundedPreceding..0). Reference cum* funcs in Groupby_Aggregator
-    func_set (my_encoders.py:495-497) are windows, not group aggs.
+    rangeBetween over unix MICROseconds (full TimestampType resolution —
+    second truncation misclassified sub-second boundaries, and with
+    include_current=False excluded every row sharing the current row's
+    second, the same defect class sessionize documents); neither →
+    cumulative (unboundedPreceding..0). Reference cum* funcs in
+    Groupby_Aggregator func_set (my_encoders.py:495-497) are windows,
+    not group aggs.
     """
     end = 0 if include_current else -1
     if window_range is not None:
-        secs = None
+        _require_utc_for_ntz(df, ts, "rolling_agg")  # same DST trap
         w = (
             Window.partitionBy(*_keys(keys))
-            .orderBy(F.unix_timestamp(F.col(ts)))
-            .rangeBetween(-_interval_seconds(window_range), end)
+            .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
+            .rangeBetween(-_interval_seconds(window_range) * 1_000_000, end)
         )
-        del secs
         tag = window_range.replace(" ", "")
     else:
         order = [F.col(ts)] + [F.col(c) for c in (tie_break or [])]

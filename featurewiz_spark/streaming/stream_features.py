@@ -166,6 +166,22 @@ def run_sessionize_availablenow(
     ck_dir = os.path.join(work_dir, "ck")
     batch = spark.read.parquet(source_parquet)
     schema = batch.schema
+    if batch.limit(1).count() == 0:
+        # empty source: the sink would hold only _spark_metadata and
+        # the final read would raise 'Unable to infer schema' — return
+        # an empty frame of the output shape instead
+        bt = schema[ts].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [schema[k] for k in keys]
+                + [
+                    T.StructField("session_start", bt),
+                    T.StructField("session_end", bt),
+                    T.StructField("n_events", T.LongType()),
+                ]
+            ),
+        )
     batch.write.mode("overwrite").parquet(in_dir)
     # withWatermark rejects TIMESTAMP_NTZ: cast to TIMESTAMP inside the
     # stream (exact under a DST-free session timezone — enforced by the
@@ -250,9 +266,23 @@ def stream_asof_enrich(
     state_schema = T.StructType([T.StructField("last_val", T.DoubleType())])
 
     def fn(key_, pdf_iter, state):
+        import pandas as pd
+
         last_val = state.get[0] if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts, kind="mergesort").copy()
+        # materialize ALL Arrow chunks and sort ONCE: chunks arrive in
+        # shuffle order, and sorting per chunk let a later-ts chunk set
+        # last_val before an earlier-ts chunk was processed — future
+        # values leaking into "strictly earlier" enrichment (verified
+        # with an out-of-order two-chunk batch). Transient memory is one
+        # micro-batch of one key — the same bound every grouped-map op
+        # carries.
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(ts, kind="mergesort")
+                .copy()
+            )
             prior = pdf[value].astype("float64").ffill().shift(1)
             if last_val is not None:
                 prior = prior.fillna(last_val)

@@ -76,9 +76,14 @@ def extract_image_features(
             feats, errs = [], []
             for buf in pdf[content_col]:
                 try:
+                    # buf may be NULL (bytes(None) is a TypeError, which
+                    # must be data, not a job-killer — the poison-row
+                    # contract this function exists to provide)
+                    if buf is None:
+                        raise ValueError("null content")
                     feats.append(_decode_image_bytes(bytes(buf)).tolist())
                     errs.append(None)
-                except (NotImplementedError, ValueError) as ex:
+                except (NotImplementedError, ValueError, TypeError) as ex:
                     feats.append(None)
                     errs.append(str(ex))
             yield pd.DataFrame(
@@ -93,30 +98,52 @@ def sample_video_frames(
     every_n: int = 10,
 ) -> DataFrame:
     """Frame-sampling contract: one output row per sampled frame with a
-    frame index. Decode is the same stub; the EXPLODED row shape (media ×
-    frame) is the part that matters for downstream joins/partitioning."""
+    frame index; a media whose payload is NULL/empty or whose decode
+    fails emits ONE row with frame_idx=-1, NULL features, and the error
+    string — downstream can distinguish "decode failed" from "no
+    frames" and a poison row never kills the job (same contract as
+    extract_image_features). Decode is the same stub; the EXPLODED row
+    shape (media × frame) is the part that matters for downstream
+    joins/partitioning."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("decode_error", T.StringType()),
         ]
     )
 
     def decode(batches):
         for pdf in batches:
-            ids, idxs, feats = [], [], []
+            ids, idxs, feats, errs = [], [], [], []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                b = bytes(buf)
-                # fake "frames": fixed-size strides over the payload
-                n_frames = max(1, len(b) // 64)
-                for fi in range(0, n_frames, every_n):
-                    chunk = b[fi * 64 : (fi + 1) * 64]
-                    if not chunk:
-                        continue
+                try:
+                    if buf is None:
+                        raise ValueError("null content")
+                    b = bytes(buf)
+                    # fake "frames": fixed-size strides over the payload
+                    n_frames = max(1, len(b) // 64)
+                    emitted = False
+                    for fi in range(0, n_frames, every_n):
+                        chunk = b[fi * 64 : (fi + 1) * 64]
+                        if not chunk:
+                            continue
+                        ids.append(mid)
+                        idxs.append(fi)
+                        feats.append(_decode_image_bytes(chunk).tolist())
+                        errs.append(None)
+                        emitted = True
+                    if not emitted:
+                        raise ValueError("empty payload: no frames")
+                except (NotImplementedError, ValueError, TypeError) as ex:
                     ids.append(mid)
-                    idxs.append(fi)
-                    feats.append(_decode_image_bytes(chunk).tolist())
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
+                    idxs.append(-1)
+                    feats.append(None)
+                    errs.append(str(ex))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "features": feats,
+                 "decode_error": errs}
+            )
 
     return df.select(id_col, content_col).mapInPandas(decode, schema=out_schema)

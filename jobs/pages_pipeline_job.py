@@ -15,10 +15,13 @@ bucket-by-bucket with per-bucket lineage manifests (row count +
 order-insensitive checksum); a rerun recomputes only missing buckets
 (featurewiz_spark.plans.lineage). Without it, a plain overwrite write.
 
-The executor-side JVM flags that keep wide feature projections JIT-
-compiled are session configs here, but on a real cluster pass them to
-spark-submit too (they must reach executor JVMs at launch):
-    --conf spark.executor.extraJavaOptions='-XX:-DontCompileHugeMethods'
+JVM flags CANNOT be set from inside the job (both driver and executor
+JVMs are already running when this code executes) — pass them at
+submit, or wide feature projections run interpreted (8.5x measured):
+    --conf spark.driver.extraJavaOptions='-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m' \
+    --conf spark.executor.extraJavaOptions='-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m'
+Session-level engine configs (UTC timezone — required for NTZ
+timestamp inputs, AQE skew handling) ARE set below.
 """
 
 from __future__ import annotations
@@ -49,7 +52,16 @@ def main() -> None:
     from featurewiz_spark.plans.pipeline import pages_feature_pipeline
     from featurewiz_spark.sources.table_io import read_table, write_table
 
-    spark = SparkSession.builder.appName("pages_feature_pipeline").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("pages_feature_pipeline")
+        # master/deploy-mode come from spark-submit; these are the
+        # engine invariants: UTC session tz (NTZ gap/bucket arithmetic
+        # requires a DST-free zone — the ops raise otherwise) + AQE
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
     pages = read_table(spark, args.input, args.table_format)
     snapshots = (
         read_table(spark, args.snapshots, args.table_format)
@@ -69,7 +81,10 @@ def main() -> None:
             keys=["url"],
             n_buckets=args.buckets,
         )
-        write_table(out, args.output, args.table_format)
+        # __bucket is lineage-internal (partition-discovered on the
+        # resume read); dropping it keeps resume and non-resume output
+        # schemas identical
+        write_table(out.drop("__bucket"), args.output, args.table_format)
     else:
         out = pages_feature_pipeline(
             pages, snapshots=snapshots, gap=args.gap,
