@@ -1008,6 +1008,29 @@ def _q69_stream_sessionize(spark, sf):
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 
+def _q70_bucketed_ordered_te(spark, sf):
+    """Skew-bounded ordered target encoding: per-(category, 90-day
+    bucket) in-bucket running window + a tiny carry spine
+    (operators/encoders.py:ordered_target_encode bucket=...), replacing
+    the one-task-per-category window — featurewiz categories are
+    ≤35-cardinality, so at scale EVERY category is hot. The oracle is
+    the PLAIN single-window range-frame SQL: bucketing is an
+    implementation detail that must not change one value. round(2):
+    cumulative bucket sums associate differently than one running sum
+    (and DuckDB's segment trees differently again)."""
+    from featurewiz_spark.operators.encoders import ordered_target_encode
+
+    o = _t(spark, sf, "orders")
+    d = ordered_target_encode(
+        o, "o_orderpriority", "o_totalprice", "o_orderdate",
+        prior_weight=1.0, bucket="90 days",
+    )
+    return d.select(
+        "o_orderkey",
+        F.round("o_orderpriority_ordered_te", 2).alias("bucketed_te"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1079,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_outlier_row_drop": _q67_outlier_row_drop,
         "q68_blocked_topk": _q68_blocked_topk,
         "q69_stream_sessionize": _q69_stream_sessionize,
+        "q70_bucketed_ordered_te": _q70_bucketed_ordered_te,
     }
 
 
@@ -2070,6 +2094,23 @@ def oracle_sql() -> dict[str, str]:
                  + CASE WHEN e1 < q1_1 - 1.5*(q3_1-q1_1) OR e1 > q3_1 + 1.5*(q3_1-q1_1) THEN 1 ELSE 0 END
                  + CASE WHEN e2 < q1_2 - 1.5*(q3_2-q1_2) OR e2 > q3_2 + 1.5*(q3_2-q1_2) THEN 1 ELSE 0 END
                  + CASE WHEN e3 < q1_3 - 1.5*(q3_3-q1_3) OR e3 > q3_3 + 1.5*(q3_3-q1_3) THEN 1 ELSE 0 END) < 4
+        """,
+        # the bucketed implementation must equal the PLAIN running
+        # range-frame encode — numeric epoch-µs ordering key so the
+        # 1-PRECEDING exclusion is the exact strictly-earlier rule the
+        # Spark impl applies (date→µs is a constant-shift map, so the
+        # included set is tz-invariant)
+        "q70_bucketed_ordered_te": """
+            WITH g AS (SELECT avg(o_totalprice) AS gm FROM orders),
+                 t AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                              epoch_us(o_orderdate::TIMESTAMP) AS ok
+                       FROM orders)
+            SELECT o_orderkey,
+                   round((coalesce(sum(o_totalprice) OVER w, 0) + (SELECT gm FROM g))
+                         / (coalesce(count(o_totalprice) OVER w, 0) + 1), 2) AS bucketed_te
+            FROM t
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY ok
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
     }
 

@@ -65,11 +65,33 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in keys + [right_ts]]
-    clash = [c for c in value_cols if f"{c}{suffix}" in left.columns]
+    # the matched-timestamp column f"{right_ts}{suffix}" is an output too
+    clash = [
+        c for c in value_cols + [right_ts] if f"{c}{suffix}" in left.columns
+    ]
     if clash:
         raise ValueError(
             f"asof_join: output column(s) {[f'{c}{suffix}' for c in clash]} "
             "already exist on the left side — pass a different suffix"
+        )
+    # the payload struct is a window SORT key (deterministic right-right
+    # tie-break) and a max/min aggregate in the bucketed variant — both
+    # require orderable types. MapType is the one common non-orderable
+    # column type; fail with an actionable message instead of an opaque
+    # Catalyst EXPRESSION_TYPE_IS_NOT_ORDERABLE at execution.
+    from pyspark.sql import types as _T
+
+    bad = [
+        c for c in value_cols
+        if isinstance(right.schema[c].dataType, _T.MapType)
+    ]
+    if bad:
+        raise ValueError(
+            f"asof_join: value column(s) {bad} are MapType (non-orderable) "
+            "— the matched-row payload must sort deterministically; "
+            "exclude them from value_cols (e.g. re-join them by the "
+            "matched timestamp afterwards) or encode them as "
+            "array<struct<key,value>>"
         )
 
     # tag: right rows must sort BEFORE left rows at equal ts for

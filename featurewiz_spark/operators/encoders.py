@@ -286,7 +286,7 @@ def glmm_encode(
 
 def ordered_target_encode(
     df: DataFrame, col: str, target: str, ts: str, prior: float | None = None,
-    prior_weight: float = 1.0,
+    prior_weight: float = 1.0, bucket: str | float | None = None,
 ) -> DataFrame:
     """A7 CatBoost-style ORDERED target encoding — leakage-free by
     construction: each row sees only strictly-earlier rows of its
@@ -298,27 +298,100 @@ def ordered_target_encode(
     a rows-frame would let rows sharing a timestamp see each other's
     targets in arbitrary per-run order — both label leakage and
     nondeterminism. Same-ts peers are excluded ("strictly earlier"
-    taken literally)."""
+    taken literally).
+
+    bucket=None runs one running window per category — correct, but a
+    hot category is a single sorted task, and featurewiz categories are
+    ≤35-cardinality by construction, so at 100 TB EVERY category is hot.
+    Pass a bucket (interval string for time columns, e.g. ``'30 days'``;
+    a number for numeric ts) to cut each category's timeline into
+    calendar buckets (same design as ``bucketed_asof_join``):
+
+    1. in-bucket running sums — window over (col, bucket), task size
+       bounded by bucket width, not category row count;
+    2. per-(col, bucket) totals — ONE row per bucket (hash aggregate
+       with map-side partials);
+    3. carry: cumulative totals over strictly-earlier buckets — a
+       window over the tiny per-bucket table (rows = #buckets);
+    4. row value = in-bucket partial + carried prefix, joined back
+       null-safely on (col, bucket).
+
+    A row in bucket b has strictly-greater time than every row of any
+    bucket < b, and same-micros rows always share a bucket, so the
+    strictly-earlier frame semantics are preserved exactly. Cumulative
+    float sums associate differently than one long running sum
+    (identical up to ~1 ulp per bucket boundary; round outputs as the
+    driver queries do)."""
     from pyspark.sql import types as T
 
     if prior is None:
         prior = df.agg(F.avg(target)).first()[0]
     tdt = df.schema[ts].dataType
-    if isinstance(tdt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        okey = F.unix_micros(F.col(ts).cast("timestamp"))
+    is_time = isinstance(tdt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    okey = F.unix_micros(F.col(ts).cast("timestamp")) if is_time else F.col(ts)
+    pw = F.lit(prior_weight)
+    pr = F.lit(prior)
+    out_col = f"{col}_ordered_te"
+
+    if bucket is None:
+        w = (
+            Window.partitionBy(col)
+            .orderBy(okey)
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        run_sum = F.coalesce(F.sum(target).over(w), F.lit(0.0))
+        run_cnt = F.coalesce(F.count(target).over(w), F.lit(0))
+        return df.withColumn(out_col, (run_sum + pw * pr) / (run_cnt + pw))
+
+    if is_time:
+        from featurewiz_spark.operators.windows import (
+            _interval_seconds,
+            _require_utc_for_ntz,
+        )
+
+        _require_utc_for_ntz(df, ts, "ordered_target_encode")
+        width = F.lit(int(_interval_seconds(bucket) * 1_000_000))
     else:
-        okey = F.col(ts)
-    w = (
-        Window.partitionBy(col)
-        .orderBy(okey)
+        width = F.lit(bucket)
+    b = df.withColumn("__okey", okey).withColumn(
+        "__bkt", F.floor(F.col("__okey") / width)
+    )
+    w_in = (
+        Window.partitionBy(col, "__bkt")
+        .orderBy("__okey")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    run_sum = F.coalesce(F.sum(target).over(w), F.lit(0.0))
-    run_cnt = F.coalesce(F.count(target).over(w), F.lit(0))
-    return df.withColumn(
-        f"{col}_ordered_te",
-        (run_sum + F.lit(prior_weight) * F.lit(prior))
-        / (run_cnt + F.lit(prior_weight)),
+    b = b.withColumn(
+        "__in_sum", F.coalesce(F.sum(target).over(w_in), F.lit(0.0))
+    ).withColumn("__in_cnt", F.coalesce(F.count(target).over(w_in), F.lit(0)))
+
+    kc = "__fw_ote_key"
+    tot = b.groupBy(F.col(col).alias(kc), F.col("__bkt").alias("__tbkt")).agg(
+        F.sum(target).alias("__bs"), F.count(target).alias("__bc")
+    )
+    w_c = (
+        Window.partitionBy(kc)
+        .orderBy("__tbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = tot.select(
+        kc,
+        "__tbkt",
+        F.coalesce(F.sum("__bs").over(w_c), F.lit(0.0)).alias("__cs"),
+        F.coalesce(F.sum("__bc").over(w_c), F.lit(0)).alias("__cc"),
+    )
+    joined = b.join(
+        carry,
+        on=b[col].eqNullSafe(carry[kc]) & b["__bkt"].eqNullSafe(carry["__tbkt"]),
+        how="left",
+    )
+    joined = joined.withColumn(
+        out_col,
+        (F.col("__in_sum") + F.col("__cs") + pw * pr)
+        / (F.col("__in_cnt") + F.col("__cc") + pw),
+    )
+    return joined.drop(
+        kc, "__tbkt", "__okey", "__bkt", "__in_sum", "__in_cnt", "__cs", "__cc"
     )
 
 
@@ -482,10 +555,16 @@ def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
         )
     # deterministic unique names: sanitizing can collide ('a b' vs
     # 'a_b') — uniquify in sorted-category order so fit and replay
-    # derive identical names. NULL rows get 0 (not NULL) indicators:
-    # (col == c) is NULL for them and would leak NaNs downstream.
+    # derive identical names. The uniquifier is seeded ONLY with the
+    # generated names themselves, never df.columns: fit and replay
+    # frames carry different incidental columns, and seeding with them
+    # would derive different one-hot names for the same categories. A
+    # genuine clash with a pre-existing column is an error (withColumns
+    # would silently overwrite it), not a rename. NULL rows get 0 (not
+    # NULL) indicators: (col == c) is NULL for them and would leak NaNs
+    # downstream.
     names: dict = {}
-    used = set(df.columns)
+    used: set = set()
     for c in categories:
         base = f"{col}_is_{str(c).replace(' ', '_')}"
         name, i = base, 2
@@ -494,6 +573,12 @@ def one_hot_encode(df: DataFrame, col: str, categories: list | None = None
             i += 1
         names[c] = name
         used.add(name)
+    clash = sorted(used & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"one_hot_encode({col!r}): generated column name(s) {clash} "
+            "already exist in the DataFrame — rename or drop them first"
+        )
     out = df.withColumns(
         {
             names[c]: F.coalesce((F.col(col) == F.lit(c)).cast("int"), F.lit(0))

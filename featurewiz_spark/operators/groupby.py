@@ -196,7 +196,17 @@ def trend_seasonality(
     reference my_encoders.py:1743-1797): trend = sum(value) by (cat, ts)
     / sum(value) by ts; seasonality = value / trend.
 
-    Spark-first: two window sums over different partitionings — no join.
+    Spark-first: TWO HASH AGGREGATES + a join back — not window sums.
+    ``sum(value) over (partitionBy(ts))`` would put every row sharing a
+    timestamp into ONE window task with no partial aggregation; at
+    100 TB with daily/hourly granularity one ts = billions of rows = an
+    unsplittable straggler. Hash aggregates get map-side partials (dup
+    timestamps collapse before the shuffle), the per-(cat,ts) trend
+    table is tiny (one row per group) so the merge-back join is
+    broadcastable, and AQE sizes everything else. Joins are null-safe:
+    window partitionBy groups NULL keys together, and a plain equi-join
+    would silently give NULL-cat/ts rows no trend.
+
     try_divide: under Spark 4's default ANSI mode a zero denominator
     (all values zero for a ts, or cancelling signs) would THROW
     DIVIDE_BY_ZERO and abort the job; we yield NULL instead (pandas
@@ -204,12 +214,24 @@ def trend_seasonality(
     missing-value machinery rather than poisoning downstream features;
     deviation documented).
     """
-    w_ct = Window.partitionBy(cat, ts)
-    w_t = Window.partitionBy(ts)
-    trend = F.try_divide(F.sum(value).over(w_ct), F.sum(value).over(w_t))
-    return df.withColumn(trend_col, trend).withColumn(
-        season_col, F.try_divide(F.col(value), F.col(trend_col))
+    kc, kt = "__fw_tr_cat", "__fw_tr_ts"
+    sct = df.groupBy(
+        F.col(cat).alias(kc), F.col(ts).alias(kt)
+    ).agg(F.sum(value).alias("__sct"))
+    st = df.groupBy(F.col(ts).alias(kt)).agg(F.sum(value).alias("__st"))
+    tbl = (
+        sct.join(st.withColumnRenamed(kt, f"{kt}2"),
+                 on=sct[kt].eqNullSafe(F.col(f"{kt}2")), how="left")
+        .select(kc, kt, F.try_divide(F.col("__sct"), F.col("__st")).alias("__tr"))
     )
+    out = df.join(
+        tbl,
+        on=df[cat].eqNullSafe(tbl[kc]) & df[ts].eqNullSafe(tbl[kt]),
+        how="left",
+    ).drop(kc, kt)
+    return out.withColumn(trend_col, F.col("__tr")).withColumn(
+        season_col, F.try_divide(F.col(value), F.col("__tr"))
+    ).drop("__tr")
 
 
 def ranking_aggregate(

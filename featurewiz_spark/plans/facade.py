@@ -326,6 +326,18 @@ class FeatureWizSpark:
     def transform(self, df: DataFrame) -> DataFrame:
         if not self.features:
             raise RuntimeError("fit_transform must run first")
+        # string targets were label-encoded during fit; a transform frame
+        # carrying the target (e.g. a labeled validation split) must get
+        # the SAME integer codes, or downstream train/test concatenation
+        # sees int codes vs raw strings. Values unseen at fit → NULL
+        # (there is no code for them — surfacing NULL beats inventing
+        # one). Targets absent from df pass untouched.
+        for t, m in getattr(self, "_target_maps", {}).items():
+            if t in df.columns:
+                mexpr = F.create_map(
+                    *[x for v, i in m.items() for x in (F.lit(v), F.lit(i))]
+                )
+                df = df.withColumn(t, mexpr[F.col(t)].cast("int"))
         drop = (
             self._taxonomy.cols_delete
             + self._taxonomy.id_vars

@@ -31,6 +31,25 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in _TABLES}
 
 
+# temp files created by driver-side decompression, removed at exit
+_TMP_FILES: list[str] = []
+
+
+def _register_tmp_cleanup(name: str) -> None:
+    if not _TMP_FILES:
+        import atexit
+
+        @atexit.register
+        def _cleanup() -> None:
+            for p in _TMP_FILES:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+    _TMP_FILES.append(name)
+
+
 # Reference encoding fallback chain, featurewiz/featurewiz.py:233-244
 _ENCODING_CHAIN = ["ascii", "utf-8", "iso-8859-1", "cp1252", "latin1"]
 
@@ -154,21 +173,29 @@ def read_any(
         # files these extensions imply; recompress to gz/parquet for
         # anything that must be read distributed.
         import os as _os
+        import shutil as _shutil
         import tempfile as _tempfile
 
         suffix = "_" + _os.path.basename(stripped)
+        # stream-copy in bounded chunks: f.read() would materialize the
+        # whole decompressed payload in driver RAM (a multi-GB archive
+        # OOMs the driver for no reason); copyfileobj keeps RSS flat at
+        # the chunk size. The temp file is registered for interpreter-
+        # exit cleanup so repeated reads don't accumulate full-size
+        # decompressed copies in the temp dir.
         with _tempfile.NamedTemporaryFile(delete=False, suffix=suffix) as tmp:
             if low.endswith(".zip"):
                 import zipfile
 
                 with zipfile.ZipFile(path) as z:
                     with z.open(z.namelist()[0]) as f:
-                        tmp.write(f.read())
+                        _shutil.copyfileobj(f, tmp, length=1 << 20)
             else:
                 import lzma
 
                 with lzma.open(path, "rb") as f:
-                    tmp.write(f.read())
+                    _shutil.copyfileobj(f, tmp, length=1 << 20)
+        _register_tmp_cleanup(tmp.name)
         return read_any(spark, tmp.name, sep=sep, header=header, encoding=encoding)
     if stripped.endswith((".parquet", ".pq")):
         return spark.read.parquet(path)

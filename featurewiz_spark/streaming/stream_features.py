@@ -222,12 +222,28 @@ def run_sessionize_availablenow(
         out = out.withColumn(
             "session_start", F.col("session_start").cast("timestamp_ntz")
         ).withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
-    for c, v in sentinel_overrides.items():
-        # null-safe: a plain != would also drop NULL-key sessions (the
-        # null group is a legitimate session key in batch and oracle).
-        # Choosing a sentinel value that cannot collide with real keys
-        # is the caller's contract.
-        out = out.filter(~F.col(c).eqNullSafe(F.lit(v)))
+    if sentinel_overrides:
+        for c, v in sentinel_overrides.items():
+            # null-safe: a plain != would also drop NULL-key sessions
+            # (the null group is a legitimate session key in batch and
+            # oracle). Choosing a sentinel value that cannot collide
+            # with real keys is the caller's contract.
+            out = out.filter(~F.col(c).eqNullSafe(F.lit(v)))
+    else:
+        # no overrides: the sentinel rows were cloned from a REAL row,
+        # so their key is a real key — without this filter their two
+        # fabricated far-future sessions would appear in the result
+        # under that key. Each sentinel is its own single-event session
+        # (sentinel_times are > gap apart and beyond all real data), so
+        # session_start identifies them exactly. Caveat: a real session
+        # starting at precisely a sentinel time would be dropped too —
+        # pass sentinel_overrides when sentinel_times could collide
+        # with the data's range.
+        st_type = schema[ts].dataType
+        for stime in sentinel_times:
+            out = out.filter(
+                ~F.col("session_start").eqNullSafe(F.lit(stime).cast(st_type))
+            )
     return out
 
 
