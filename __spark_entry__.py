@@ -1107,6 +1107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # q33/q62 langid: the trigram-profile SQL is GENERATED from the same
+    # profile table the Spark projection uses (text/langid.py) — one
+    # source of truth, the two sides cannot drift.
+    from featurewiz_spark.text.langid import langid_sql_ctes
+
+    _langid_docs = langid_sql_ctes("documents")
+    _langid_f = langid_sql_ctes("f")
+
     # q32: DuckDB recomputes the md5_60 simhash bit-for-bit — unrolled
     # per-bit ±1 sums, then the sign rule packs the fingerprint.
     _bits = 16
@@ -1805,27 +1813,10 @@ def oracle_sql() -> dict[str, str]:
             FROM aug x JOIN aug y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
         """,
-        "q33_langid": """
-            WITH t AS (
-                SELECT doc_id,
-                       list_transform(regexp_split_to_array(text, '\\s+'),
-                                      x -> lower(x)) AS toks
-                FROM documents
-            ), h AS (
-                SELECT doc_id,
-                  len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
-                  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
-                  len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) AS h_fr,
-                  len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','que'])) AS h_es
-                FROM t
-            )
-            SELECT doc_id,
-              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
-                   WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
-                   WHEN h_fr >= greatest(h_de, h_es) THEN 'fr'
-                   WHEN h_es >= h_de THEN 'es'
-                   ELSE 'de' END AS lang_pred
-            FROM h
+        "q33_langid": f"""
+            WITH {_langid_docs}
+            SELECT d.doc_id, coalesce(b.lang_pred, 'unknown') AS lang_pred
+            FROM documents d LEFT JOIN __lang_best b USING (doc_id)
         """,
         "q58_label_encode": """
             WITH fs AS (
@@ -1861,7 +1852,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN enc e ON t.event_type = e.value
             LEFT JOIN tf ON t.event_type = tf.value
         """,
-        "q62_curation_pipeline": """
+        "q62_curation_pipeline": f"""
             WITH kept AS (
                 SELECT * FROM documents
                 QUALIFY row_number() OVER (
@@ -1870,34 +1861,17 @@ def oracle_sql() -> dict[str, str]:
             ), q AS (
                 SELECT doc_id, text,
                        len(string_split_regex(text, '\\s+')) AS q_n_words,
-                       (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
+                       (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
                          / greatest(length(text), 1) AS pr
                 FROM kept
             ), f AS (
                 SELECT doc_id, text, q_n_words FROM q
                 WHERE q_n_words >= 5 AND pr <= 0.5
-            ), t AS (
-                SELECT doc_id, q_n_words,
-                       list_transform(string_split_regex(text, '\\s+'),
-                                      x -> lower(x)) AS toks,
-                       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
-                FROM f
-            ), h AS (
-                SELECT doc_id, q_n_words, fp_md5,
-                  len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
-                  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
-                  len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) AS h_fr,
-                  len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','que'])) AS h_es
-                FROM t
-            )
-            SELECT doc_id, q_n_words,
-              CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
-                   WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
-                   WHEN h_fr >= greatest(h_de, h_es) THEN 'fr'
-                   WHEN h_es >= h_de THEN 'es'
-                   ELSE 'de' END AS lang_pred,
-              fp_md5
-            FROM h
+            ), {_langid_f}
+            SELECT f.doc_id, f.q_n_words,
+              coalesce(b.lang_pred, 'unknown') AS lang_pred,
+              md5(lower(regexp_replace(f.text, '\\s+', ' ', 'g'))) AS fp_md5
+            FROM f LEFT JOIN __lang_best b USING (doc_id)
         """,
         "q63_glmm_encode": """
             WITH g AS (

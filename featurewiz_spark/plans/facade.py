@@ -60,6 +60,16 @@ class FeatureWizSpark:
     skip_sulov: bool = False
     skip_ranking: bool = False
     sulov_mode: str = "pairwise"
+    # F2 ranking trains on a deterministic hash-ordered sample; the
+    # reference caps its own training rows the same way. 10k mirrors the
+    # reference default — raise it when selection quality at scale
+    # matters more than fit time (selection is invariant to partitioning
+    # either way; see tests/test_selection.py sample-size stability).
+    ranking_sample_rows: int = 10000
+    # 'sample' = reference-faithful driver sample; 'hist' = the
+    # distributed histogram GBT (selection/dist_gbt.py) over every row —
+    # the at-scale path when selection must see more than a sample.
+    ranking_engine: str = "sample"
     # EP2 autoencoder extension point (reference featurewiz.py:3426-3501
     # optionally inserts a DAE/VAE between encoding and SULOV). The
     # models themselves are out of scope (SURVEY §2.12); this hook is
@@ -318,7 +328,9 @@ class FeatureWizSpark:
             )
         if not self.skip_ranking and len(selected) > 1:
             selected = recursive_feature_ranking(
-                df, selected, targets, self.problem_type
+                df, selected, targets, self.problem_type,
+                sample_rows=self.ranking_sample_rows,
+                engine=self.ranking_engine,
             )
         self.features = selected
         return df.select(*selected, *targets)

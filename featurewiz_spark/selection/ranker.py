@@ -79,6 +79,9 @@ def recursive_feature_ranking(
     problem_type: str = "Regression",
     sample_rows: int = 10000,
     n_slices: int = 5,
+    engine: str = "sample",
+    hist_rounds: int = 20,
+    hist_depth: int = 6,
 ) -> list[str]:
     """Returns the selected feature list (order-preserving union).
 
@@ -88,6 +91,15 @@ def recursive_feature_ranking(
     (reference featurewiz.py:1408-1417) — so ranking trains on
     target[0] while every listed target is excluded from the
     candidates (the caller guarantees `features` excludes them).
+
+    engine='sample' (default): train on a deterministic hash-ordered
+    driver sample of `sample_rows` rows — the reference's own row-cap
+    behavior (featurewiz.py:1372-1375). engine='hist': train the
+    distributed histogram GBT (selection/dist_gbt.py) on EVERY row —
+    no driver collect, partition-count-invariant splits; rounds pinned
+    to 20, the reference's own ≥100k-row setting, since this engine
+    exists for the at-scale regime. Same slice / keep / union rules
+    either way.
     """
     if not features:
         return []
@@ -101,18 +113,55 @@ def recursive_feature_ranking(
     top_frac = 0.25 if ncols <= 50 else 0.20
     top_num = max(1, int(round(ncols * top_frac)))
 
-    pdf = deterministic_sample(df, features + [target], min(sample_rows, total))
-    y = pdf[target].to_numpy(dtype=np.float64)
-    if problem_type != "Regression":
-        # binarize vs most-frequent class for gradient purposes
-        vals, counts = np.unique(y[~np.isnan(y)], return_counts=True)
-        y = (y == vals[np.argmax(counts)]).astype(np.float64)
+    if engine == "hist":
+        from featurewiz_spark.selection.dist_gbt import SparkGBT
+
+        objective = (
+            "reg:squarederror"
+            if problem_type == "Regression"
+            else "binary:logistic"
+        )
+        train = df
+        if problem_type != "Regression":
+            # binarize vs most-frequent class (ties to lowest value,
+            # matching np.argmax-on-unique below)
+            mode_row = (
+                df.groupBy(target)
+                .count()
+                .where(F.col(target).isNotNull())
+                .orderBy(F.desc("count"), F.asc(target))
+                .first()
+            )
+            train = df.withColumn(
+                target,
+                (F.col(target) == F.lit(mode_row[0])).cast("double"),
+            )
+    elif engine != "sample":
+        raise ValueError(f"unknown engine {engine!r}; use sample|hist")
+
+    if engine == "sample":
+        pdf = deterministic_sample(
+            df, features + [target], min(sample_rows, total)
+        )
+        y = pdf[target].to_numpy(dtype=np.float64)
+        if problem_type != "Regression":
+            # binarize vs most-frequent class for gradient purposes
+            vals, counts = np.unique(y[~np.isnan(y)], return_counts=True)
+            y = (y == vals[np.argmax(counts)]).astype(np.float64)
 
     selected: list[str] = []
     for s in range(0, ncols, slice_size):
         chunk = features[s : s + slice_size]
-        X = pdf[chunk].to_numpy(dtype=np.float64)
-        imp = _train_importances(X, y, problem_type, n_rounds)
+        if engine == "hist":
+            model = SparkGBT(
+                objective=objective, n_rounds=hist_rounds,
+                max_depth=hist_depth,
+            )
+            model.fit(train, chunk, target)
+            imp = model.feature_importances()
+        else:
+            X = pdf[chunk].to_numpy(dtype=np.float64)
+            imp = _train_importances(X, y, problem_type, n_rounds)
         mx = imp.max()
         if mx > 0:
             keep = [c for c, v in zip(chunk, imp) if v >= 0.5 * mx]

@@ -1,7 +1,9 @@
 from featurewiz_spark.text.extract import extract_text, extract_text_udf
+from featurewiz_spark.text.langid import add_language_id_ngram
 from featurewiz_spark.text.stats import (
     add_fingerprint,
     add_language_id,
+    add_language_id_stopword,
     add_quality_features,
     add_token_counts,
 )
@@ -12,5 +14,7 @@ __all__ = [
     "add_quality_features",
     "add_token_counts",
     "add_language_id",
+    "add_language_id_ngram",
+    "add_language_id_stopword",
     "add_fingerprint",
 ]

@@ -1,0 +1,305 @@
+"""Character-trigram language identification (Cavnar & Trenkle 1994
+style n-gram text categorization, re-derived from the public method):
+per-language trigram log-likelihood profiles trained on a small seeded
+corpus embedded below, scored at scan speed as a pure JVM projection —
+literal map lookup + higher-order aggregate, no Python in the hot path,
+no shuffle.
+
+Replaces the 10-stopword-per-language voting toy (r3 verdict item 4)
+behind the same ``add_language_id`` API (text/stats.py delegates here).
+Reference parity target: featurewiz has no language ID — this is one of
+the LLM-training-data-pipeline operators the builder's brief adds as
+first-class; the reference-cited surface it feeds is the curation
+pipeline (plans/pipeline.py).
+
+Both the Spark expression and the DuckDB oracle SQL are generated from
+the SAME profile table (:func:`profiles` / :func:`langid_sql_ctes`), so
+q33/q62 stay in lockstep by construction.
+
+Scoring. For document text t:
+  norm  = ' ' + collapse(lower(t), non-letters -> ' ') + ' '
+  tris  = [substring(norm, i, 3) for i in 1..len(norm)-2]
+  score_L = sum over tris of logP_L(tri), with add-one smoothing over
+            the union vocabulary V and an out-of-vocabulary fallback
+            log(1/(total_L + |V| + 1)).
+  lang  = argmax_L score_L, ties to 'en' first then greatest code
+          (same struct-max discipline as the stopword heuristic);
+          'unknown' when NO trigram hits the vocabulary (all-OOV text
+          carries no evidence — the fallback ordering would otherwise
+          just pick the language with the smallest training corpus).
+
+Scale: per row this is O(len) map probes against a constant-folded
+literal map (~500 entries); plan has no exchange, no window, no UDF —
+it rides the scan like the quality features.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Languages in profile-array order; 'en' wins exact ties (prio), then
+# greatest language code — keep in sync with _PRIO and the SQL emitter.
+LANGS = ("en", "de", "fr", "es")
+_PRIO = {"en": 1}
+
+# Seeded training corpus — short general-register text written for this
+# repo (deterministic, no external data). The trigram statistics of
+# function words dominate, so ~150 words per language is enough to
+# separate these four languages decisively; held-out probe sentences
+# live in tools/langid_probe.py.
+_SEED_TEXTS = {
+    "en": """
+    The weather was clear this morning and the streets were quiet.
+    She said that the report would be ready before the end of the week.
+    People who live near the station often complain about the noise.
+    It is not always easy to know what the right answer should be.
+    We walked along the river and talked about the things we had seen.
+    The company announced that it would open a new office in the city.
+    There are many reasons why the project took longer than expected.
+    He asked whether the results could be explained in a simpler way.
+    The children were playing in the garden while their parents cooked.
+    Most of the time the trains arrive on schedule and the trip is short.
+    If you want to learn a language you should read and listen every day.
+    The old house at the corner of the street has been empty for years.
+    They decided to stay at home because the tickets were too expensive.
+    A good book can change the way you think about the world around you.
+    """,
+    "de": """
+    Das Wetter war heute Morgen klar und die Straßen waren ruhig.
+    Sie sagte, dass der Bericht vor dem Ende der Woche fertig sein würde.
+    Die Leute, die in der Nähe des Bahnhofs wohnen, beschweren sich über den Lärm.
+    Es ist nicht immer leicht zu wissen, was die richtige Antwort sein sollte.
+    Wir gingen am Fluss entlang und sprachen über die Dinge, die wir gesehen hatten.
+    Das Unternehmen kündigte an, dass es ein neues Büro in der Stadt eröffnen würde.
+    Es gibt viele Gründe, warum das Projekt länger gedauert hat als erwartet.
+    Er fragte, ob die Ergebnisse auf eine einfachere Weise erklärt werden könnten.
+    Die Kinder spielten im Garten, während ihre Eltern das Essen kochten.
+    Meistens kommen die Züge pünktlich an und die Fahrt ist kurz.
+    Wenn man eine Sprache lernen will, sollte man jeden Tag lesen und zuhören.
+    Das alte Haus an der Ecke der Straße steht seit Jahren leer.
+    Sie beschlossen, zu Hause zu bleiben, weil die Karten zu teuer waren.
+    Ein gutes Buch kann die Art verändern, wie man über die Welt denkt.
+    """,
+    "fr": """
+    Le temps était clair ce matin et les rues étaient calmes.
+    Elle a dit que le rapport serait prêt avant la fin de la semaine.
+    Les gens qui habitent près de la gare se plaignent souvent du bruit.
+    Il n'est pas toujours facile de savoir quelle est la bonne réponse.
+    Nous avons marché le long de la rivière en parlant de ce que nous avions vu.
+    L'entreprise a annoncé qu'elle ouvrirait un nouveau bureau dans la ville.
+    Il y a beaucoup de raisons pour lesquelles le projet a pris plus de temps que prévu.
+    Il a demandé si les résultats pouvaient être expliqués d'une manière plus simple.
+    Les enfants jouaient dans le jardin pendant que leurs parents préparaient le repas.
+    La plupart du temps les trains arrivent à l'heure et le trajet est court.
+    Si vous voulez apprendre une langue, il faut lire et écouter chaque jour.
+    La vieille maison au coin de la rue est vide depuis des années.
+    Ils ont décidé de rester à la maison parce que les billets étaient trop chers.
+    Un bon livre peut changer la façon dont on voit le monde autour de soi.
+    """,
+    "es": """
+    El tiempo estaba despejado esta mañana y las calles estaban tranquilas.
+    Ella dijo que el informe estaría listo antes del final de la semana.
+    La gente que vive cerca de la estación se queja a menudo del ruido.
+    No siempre es fácil saber cuál debería ser la respuesta correcta.
+    Caminamos a lo largo del río y hablamos de las cosas que habíamos visto.
+    La empresa anunció que abriría una nueva oficina en la ciudad.
+    Hay muchas razones por las que el proyecto tardó más de lo esperado.
+    Él preguntó si los resultados podían explicarse de una manera más sencilla.
+    Los niños jugaban en el jardín mientras sus padres preparaban la comida.
+    La mayoría de las veces los trenes llegan a tiempo y el viaje es corto.
+    Si quieres aprender un idioma, debes leer y escuchar todos los días.
+    La casa vieja de la esquina de la calle lleva años vacía.
+    Decidieron quedarse en casa porque las entradas eran demasiado caras.
+    Un buen libro puede cambiar la forma en que ves el mundo que te rodea.
+    """,
+}
+
+
+def _norm_py(s: str) -> str:
+    """Python mirror of the engine normalization (lower, non-letters →
+    space, collapse runs, pad). str.isalpha() matches exactly the
+    Unicode letter categories of \\p{L} — the class both Spark (Java
+    regex) and DuckDB (RE2) apply at scoring time."""
+    folded = "".join(ch if ch.isalpha() else " " for ch in s.lower())
+    collapsed = " ".join(folded.split())
+    return f" {collapsed} " if collapsed else "  "
+
+
+def _trigrams(s: str) -> list[str]:
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+@lru_cache(maxsize=None)
+def profiles(k: int = 150) -> tuple[tuple, tuple]:
+    """Build the shared profile table: top-``k`` trigrams per language
+    (tie-break: higher count, then lexicographic), union vocabulary,
+    add-one-smoothed log-probabilities. Deterministic pure function of
+    the embedded corpus.
+
+    Returns ``(vocab, fallbacks)`` where ``vocab`` is a sorted tuple of
+    ``(trigram, (logp_en, logp_de, logp_fr, logp_es))`` and
+    ``fallbacks`` the per-language OOV log-probability, ordered as
+    :data:`LANGS`."""
+    import math
+    from collections import Counter
+
+    counts = {}
+    totals = {}
+    for lang in LANGS:
+        c = Counter(_trigrams(_norm_py(_SEED_TEXTS[lang])))
+        counts[lang] = c
+        totals[lang] = sum(c.values())
+    vocab_set: set[str] = set()
+    for lang in LANGS:
+        top = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        vocab_set.update(t for t, _ in top)
+    vocab_list = sorted(vocab_set)
+    v = len(vocab_list)
+    fallbacks = tuple(
+        math.log(1.0 / (totals[lang] + v + 1)) for lang in LANGS
+    )
+    vocab = tuple(
+        (
+            tri,
+            tuple(
+                math.log(
+                    (counts[lang][tri] + 1.0) / (totals[lang] + v + 1)
+                )
+                for lang in LANGS
+            ),
+        )
+        for tri in vocab_list
+    )
+    return vocab, fallbacks
+
+
+def _norm_col(text_col: str):
+    return F.concat(
+        F.lit(" "),
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " ")
+        ),
+        F.lit(" "),
+    )
+
+
+def add_language_id_ngram(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Trigram-profile language ID as one declarative projection.
+
+    The profile map is built from foldable literals, so Catalyst's
+    ConstantFolding collapses it to a single MapData literal before
+    codegen — per row the cost is len(text) map probes, no exchange.
+    ``try_element_at`` (not ``element_at``/``map[key]``): Spark 4 ANSI
+    mode THROWS on a missing map key, and most trigrams of real text
+    are out-of-vocabulary by design."""
+    vocab, fallbacks = profiles()
+    m = F.create_map(
+        *[
+            x
+            for tri, lps in vocab
+            for x in (F.lit(tri), F.array(*[F.lit(p) for p in lps]))
+        ]
+    )
+    fb = F.array(*[F.lit(p) for p in fallbacks])
+    zero = F.array(*[F.lit(0.0) for _ in LANGS])
+    norm = _norm_col(text_col)
+    n3 = F.length(norm) - F.lit(2)
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short
+    # strings explicitly with an empty index array.
+    idx = (
+        F.when(n3 >= 1, F.sequence(F.lit(1), n3))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    tris = F.transform(idx, lambda i: F.substring(norm, i, F.lit(3)))
+    score = F.aggregate(
+        tris,
+        zero,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.coalesce(F.try_element_at(m, g), fb),
+            lambda a, b: a + b,
+        ),
+    )
+    matched = F.aggregate(
+        tris,
+        F.lit(0),
+        lambda acc, g: acc
+        + F.when(F.try_element_at(m, g).isNotNull(), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                score[i].alias("s"),
+                F.lit(_PRIO.get(lang, 0)).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANGS)
+        ]
+    )
+    best = F.array_max(cands)
+    return df.withColumn(
+        out_col,
+        F.when(matched > 0, best["lang"]).otherwise(F.lit("unknown")),
+    )
+
+
+def langid_sql_ctes(src: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Emit DuckDB CTE bodies (to splice into a WITH chain) that compute
+    ``__lang_best({id_col}, lang_pred)`` from ``{src}({id_col},
+    {text_col})`` — the exact SQL mirror of
+    :func:`add_language_id_ngram`, generated from the SAME profile table
+    so the two sides cannot drift. Consumers LEFT JOIN ``__lang_best``
+    and ``coalesce(lang_pred, 'unknown')`` (docs whose text yields no
+    trigram, or only out-of-vocabulary ones, have no row here).
+
+    Float caveat: Spark folds the score left-to-right in text order,
+    DuckDB sums grouped rows in arbitrary order — identical up to
+    association (~1e-12); the compared output is only the argmax lang,
+    robust to that."""
+    vocab, fallbacks = profiles()
+    rows = ",\n                ".join(
+        "('" + tri + "', " + ", ".join(repr(p) for p in lps) + ")"
+        for tri, lps in vocab
+    )
+    cols = ", ".join(f"l_{lang}" for lang in LANGS)
+    sums = ",\n                       ".join(
+        f"sum(coalesce(p.l_{lang}, {fallbacks[i]!r})) AS s_{lang}"
+        for i, lang in enumerate(LANGS)
+    )
+    unions = "\n                UNION ALL ".join(
+        f"SELECT {id_col}, '{lang}' AS lang, {_PRIO.get(lang, 0)} AS prio, "
+        f"s_{lang} AS score, matched FROM __lang_sc"
+        for lang in LANGS
+    )
+    return f"""__lang_prof(tri, {cols}) AS (VALUES
+                {rows}),
+            __lang_n AS (
+                SELECT {id_col},
+                       ' ' || trim(regexp_replace(lower({text_col}), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS norm
+                FROM {src}),
+            __lang_g AS (
+                SELECT {id_col},
+                       unnest(list_transform(generate_series(1, greatest(length(norm)-2, 0)),
+                                             i -> substring(norm, i, 3))) AS tri
+                FROM __lang_n),
+            __lang_sc AS (
+                SELECT g.{id_col}, count(p.tri) AS matched,
+                       {sums}
+                FROM __lang_g g LEFT JOIN __lang_prof p USING (tri)
+                GROUP BY g.{id_col}),
+            __lang_ls AS (
+                {unions}),
+            __lang_best AS (
+                SELECT {id_col}, lang AS lang_pred
+                FROM (SELECT {id_col}, lang, matched,
+                             row_number() OVER (PARTITION BY {id_col}
+                                 ORDER BY score DESC, prio DESC, lang DESC) AS rn
+                      FROM __lang_ls)
+                WHERE rn = 1 AND matched > 0)"""

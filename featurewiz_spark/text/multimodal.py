@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container ships no codec libraries (PIL/cv2/librosa), so the DECODE
-step is stubbed — but everything Spark-side is real and tested:
-schema contract, Arrow batch shape, mapInPandas signature, partitioning.
-A deterministic fake decoder stands in so the pipeline (and its tests)
-exercise the exact data path a real decoder would use; swap
-`_decode_image_bytes` for a real implementation in production.
+Decode is IMPORT-GATED (same pattern as the openpyxl/iceberg gates in
+sources/): when Pillow is installed, `extract_image_features` decodes
+real images (`_decode_image_bytes_pil`); when it is not — this test
+container ships no codec libraries — the deterministic byte-statistics
+stub stands in. Either way everything Spark-side is identical and
+tested: schema contract, Arrow batch shape, mapInPandas signature,
+partitioning, and the poison-row contract (a row that fails decode
+yields NULL features + an error string, never a job failure).
 """
 
 from __future__ import annotations
@@ -14,6 +16,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
 
 IMAGE_FEATURE_DIM = 8
 
@@ -53,8 +62,57 @@ def _decode_image_bytes(buf: bytes) -> np.ndarray:
     )
 
 
+def _decode_image_bytes_pil(buf: bytes) -> np.ndarray:
+    """Real decoder (used when Pillow is importable): decode → RGB →
+    the same IMAGE_FEATURE_DIM-wide vector shape as the stub, but with
+    image semantics: [width, height, mean_R, mean_G, mean_B, std_gray,
+    min_gray, max_gray]. Bad/truncated payloads raise (PIL's
+    UnidentifiedImageError subclasses ValueError) and become poison-row
+    data upstream."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(buf)) as im:
+        w, h = im.size
+        a = np.asarray(im.convert("RGB"), dtype=np.float64)
+    gray = a.mean(axis=2)
+    return np.array(
+        [
+            float(w),
+            float(h),
+            a[:, :, 0].mean(),
+            a[:, :, 1].mean(),
+            a[:, :, 2].mean(),
+            gray.std(),
+            gray.min(),
+            gray.max(),
+        ]
+    )
+
+
+def _pick_decoder(decoder: str):
+    """'auto' → PIL when installed else stub; 'pil'/'stub' force one
+    ('pil' without Pillow raises up front with an actionable message,
+    mirroring the openpyxl gate in sources/readers.py)."""
+    if decoder == "auto":
+        decoder = "pil" if HAS_PIL else "stub"
+    if decoder == "pil":
+        if not HAS_PIL:
+            raise ImportError(
+                "decoder='pil' requires Pillow (pip install Pillow); "
+                "use decoder='stub' or 'auto' for the deterministic "
+                "byte-statistics fallback"
+            )
+        return _decode_image_bytes_pil
+    if decoder == "stub":
+        return _decode_image_bytes
+    raise ValueError(f"unknown decoder {decoder!r}; use auto|pil|stub")
+
+
 def extract_image_features(
-    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    decoder: str = "auto",
 ) -> DataFrame:
     """binary → fixed-width float feature vector via mapInPandas.
 
@@ -63,6 +121,7 @@ def extract_image_features(
     yield NULL features + error string instead of failing the job — at
     10^12 scale a poison row must never kill the pipeline.
     """
+    decode_one = _pick_decoder(decoder)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -81,9 +140,11 @@ def extract_image_features(
                     # contract this function exists to provide)
                     if buf is None:
                         raise ValueError("null content")
-                    feats.append(_decode_image_bytes(bytes(buf)).tolist())
+                    feats.append(decode_one(bytes(buf)).tolist())
                     errs.append(None)
-                except (NotImplementedError, ValueError, TypeError) as ex:
+                # OSError covers PIL's UnidentifiedImageError / truncated
+                # payload errors on the real path
+                except (NotImplementedError, ValueError, TypeError, OSError) as ex:
                     feats.append(None)
                     errs.append(str(ex))
             yield pd.DataFrame(

@@ -76,12 +76,24 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def add_language_id(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
-    """Language ID via stopword-hit voting: per language, count
+    """Language ID — char-trigram log-likelihood profiles (see
+    text/langid.py; replaced the stopword-vote toy in r4 behind the
+    same API). Pure JVM projection, rides the scan."""
+    from featurewiz_spark.text.langid import add_language_id_ngram
+
+    return add_language_id_ngram(df, text_col, out_col)
+
+
+def add_language_id_stopword(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Legacy language ID via stopword-hit voting: per language, count
     distinct stopword hits in the text; argmax wins. Ties break to 'en'
     first (an explicit priority field in the comparison struct — the
     bare lexicographic array_max could never pick 'en' over 'es'/'fr'),
     then to the greatest language code. Declarative: transform/array
-    ops over a lowered token array."""
+    ops over a lowered token array. Kept as the zero-setup fallback and
+    the baseline the accuracy probe (tools/langid_probe.py) beats."""
     toks = F.transform(F.split(F.col(text_col), r"\s+"), lambda w: F.lower(w))
     scores = []
     for lang, words in _STOPWORDS.items():

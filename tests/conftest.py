@@ -1,6 +1,15 @@
 import pytest
 
 
+@pytest.fixture()
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from featurewiz_spark import get_spark

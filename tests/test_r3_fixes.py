@@ -292,10 +292,12 @@ def test_quality_features_unicode_and_density(spark):
 
 
 def test_langid_tie_prefers_en(spark):
-    from featurewiz_spark.text.stats import add_language_id
+    # r4: add_language_id now delegates to the trigram model; the
+    # stopword tie discipline this test pins lives on the legacy name.
+    from featurewiz_spark.text.stats import add_language_id_stopword
 
     df = spark.createDataFrame([(1, "is es")], "doc_id long, text string")
-    assert add_language_id(df).collect()[0]["lang_pred"] == "en"
+    assert add_language_id_stopword(df).collect()[0]["lang_pred"] == "en"
 
 
 def test_classify_text_column_is_nlp_not_id(spark):

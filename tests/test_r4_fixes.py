@@ -314,3 +314,119 @@ def test_sessionize_availablenow_default_filters_sentinels(spark, tmp_path):
     assert got[0]["n_events"] == 4
     # nothing in 2030 leaked through under user_id=7
     assert all(r["session_start"].year == 2024 for r in got)
+
+
+# --- trigram language ID (replaces the stopword toy, same API) -----------
+
+def test_langid_ngram_held_out_and_unknown(spark):
+    """add_language_id now routes to the trigram-profile model. Pin:
+    (a) held-out sentences (disjoint from the training corpus) classify
+    correctly in all 4 languages, including short fragments where the
+    stopword voter had no signal; (b) out-of-alphabet / numeric / empty
+    text is 'unknown', not a fallback-ordering artifact."""
+    from featurewiz_spark.text.stats import add_language_id
+
+    cases = [
+        (0, "en", "The museum opens early on weekends and entry is free."),
+        (1, "de", "Niemand wusste genau, wann die Brücke gebaut worden war."),
+        (2, "fr", "Elle versait le café lentement en lisant le journal."),
+        (3, "es", "Nadie sabía exactamente cuándo se había construido el puente."),
+        (4, "en", "a quiet place to read"),
+        (5, "de", "ein ruhiger Ort zum Lesen"),
+        (6, "fr", "un endroit calme pour lire"),
+        (7, "es", "un lugar tranquilo para leer"),
+        (8, "unknown", "你好 世界 这是 中文 文本"),
+        (9, "unknown", "42 17 99 -- !!"),
+        (10, "unknown", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in cases], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in add_language_id(df).collect()}
+    for i, truth, _ in cases:
+        assert got[i] == truth, (i, truth, got[i])
+
+
+def test_langid_sql_mirror_matches_spark(spark, duck):
+    """The DuckDB CTEs and the Spark projection are generated from the
+    same profile table — verify they agree verbatim on a mixed batch
+    (this is the q33/q62 lockstep contract, in miniature)."""
+    from featurewiz_spark.text.langid import (
+        add_language_id_ngram,
+        langid_sql_ctes,
+    )
+
+    rows = [
+        (0, "The committee will publish its findings next month."),
+        (1, "Der Ausschuss wird seine Ergebnisse veröffentlichen."),
+        (2, "Le comité publiera ses conclusions le mois prochain."),
+        (3, "El comité publicará sus conclusiones el próximo mes."),
+        (4, "999 ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in add_language_id_ngram(df).collect()}
+    duck.execute("CREATE OR REPLACE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = (f"WITH {langid_sql_ctes('docs')} "
+           "SELECT d.doc_id, coalesce(b.lang_pred, 'unknown') AS lang_pred "
+           "FROM docs d LEFT JOIN __lang_best b USING (doc_id)")
+    oracle = {int(r[0]): r[1] for r in duck.execute(sql).fetchall()}
+    assert got == oracle
+
+
+# --- PIL-gated real image decode (stub fallback preserved) ---------------
+
+def test_image_decoder_gate_stub_fallback(spark):
+    """decoder='auto' without Pillow must fall back to the deterministic
+    stub and keep the poison-row contract; decoder='pil' must raise an
+    actionable ImportError up front (openpyxl-gate pattern)."""
+    from featurewiz_spark.text import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(64))), (2, None)],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r
+           for r in mm.extract_image_features(df, decoder="auto").collect()}
+    if not mm.HAS_PIL:
+        # auto == stub here: byte statistics, exact pin
+        assert out[1]["features"][0] == 64.0  # len
+        assert out[1]["decode_error"] is None
+        assert out[2]["features"] is None and "null content" in out[2]["decode_error"]
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.extract_image_features(df, decoder="pil")
+    with pytest.raises(ValueError, match="unknown decoder"):
+        mm.extract_image_features(df, decoder="magic")
+
+
+@pytest.mark.skipif(
+    not __import__("featurewiz_spark.text.multimodal", fromlist=["HAS_PIL"]).HAS_PIL,
+    reason="Pillow not installed in this container (decode gate falls back to stub)",
+)
+def test_image_decoder_real_pil_path(spark):
+    """Runs only where Pillow exists: a real 2x2 PNG decodes to
+    [w, h, meanR, meanG, meanB, stdGray, minGray, maxGray]; a corrupt
+    payload becomes a poison row, not a job failure."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from featurewiz_spark.text.multimodal import extract_image_features
+
+    img = Image.new("RGB", (2, 2))
+    img.putdata([(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"not an image")],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r
+           for r in extract_image_features(df, decoder="pil").collect()}
+    f = out[1]["features"]
+    assert f[:2] == [2.0, 2.0]
+    assert np.isclose(f[2], (255 + 0 + 0 + 255) / 4.0)
+    assert out[1]["decode_error"] is None
+    assert out[2]["features"] is None and out[2]["decode_error"]

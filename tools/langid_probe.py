@@ -1,0 +1,158 @@
+"""Language-ID accuracy probe (r3 verdict item 4 "Done" evidence).
+
+Held-out multilingual fixture — sentences written for this repo,
+deliberately DISJOINT from the training corpus embedded in
+text/langid.py — scored by BOTH classifiers through their real Spark
+projections:
+
+  * trigram profiles  (add_language_id_ngram — the new default)
+  * stopword voting   (add_language_id_stopword — the r1-r3 toy)
+
+Reports per-language and overall accuracy for each, plus the
+'unknown' behavior on out-of-alphabet text, and appends the table to
+BENCH/LANGID.md. Deterministic: fixed fixture, no sampling.
+
+Usage: python tools/langid_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Held-out probe sentences. General register, function-word heavy like
+# real web text; NONE appear in langid._SEED_TEXTS. The last group is
+# short/hard: 3-6 word fragments where stopword voting has almost no
+# signal but trigram statistics still do.
+FIXTURE = {
+    "en": [
+        "The museum opens early on weekends and entry is free for students.",
+        "Nobody knew exactly when the bridge had been built or by whom.",
+        "She poured the coffee slowly while reading yesterday's newspaper.",
+        "The committee will publish its findings at the start of next month.",
+        "A cold wind came down from the hills just before sunset.",
+        "He fixed the broken shelf with two screws and a bit of glue.",
+        "Their flight was delayed, so they spent the night near the airport.",
+        "Every spring the garden fills with tulips and white daffodils.",
+        "learning new things takes time",
+        "a quiet place to read",
+    ],
+    "de": [
+        "Das Museum öffnet am Wochenende früh und der Eintritt ist für Studenten frei.",
+        "Niemand wusste genau, wann die Brücke gebaut worden war oder von wem.",
+        "Sie goss den Kaffee langsam ein und las dabei die Zeitung von gestern.",
+        "Der Ausschuss wird seine Ergebnisse Anfang nächsten Monats veröffentlichen.",
+        "Kurz vor Sonnenuntergang kam ein kalter Wind von den Hügeln herab.",
+        "Er reparierte das kaputte Regal mit zwei Schrauben und etwas Leim.",
+        "Ihr Flug hatte Verspätung, deshalb übernachteten sie in der Nähe des Flughafens.",
+        "Jedes Frühjahr füllt sich der Garten mit Tulpen und weißen Narzissen.",
+        "neue Dinge zu lernen braucht Zeit",
+        "ein ruhiger Ort zum Lesen",
+    ],
+    "fr": [
+        "Le musée ouvre tôt le week-end et l'entrée est gratuite pour les étudiants.",
+        "Personne ne savait exactement quand le pont avait été construit ni par qui.",
+        "Elle versait le café lentement en lisant le journal de la veille.",
+        "Le comité publiera ses conclusions au début du mois prochain.",
+        "Un vent froid descendait des collines juste avant le coucher du soleil.",
+        "Il a réparé l'étagère cassée avec deux vis et un peu de colle.",
+        "Leur vol était retardé, alors ils ont passé la nuit près de l'aéroport.",
+        "Chaque printemps le jardin se remplit de tulipes et de jonquilles blanches.",
+        "apprendre de nouvelles choses prend du temps",
+        "un endroit calme pour lire",
+    ],
+    "es": [
+        "El museo abre temprano los fines de semana y la entrada es gratuita para estudiantes.",
+        "Nadie sabía exactamente cuándo se había construido el puente ni quién lo hizo.",
+        "Ella servía el café despacio mientras leía el periódico de ayer.",
+        "El comité publicará sus conclusiones a principios del próximo mes.",
+        "Un viento frío bajaba de las colinas justo antes del atardecer.",
+        "Arregló la estantería rota con dos tornillos y un poco de pegamento.",
+        "Su vuelo se retrasó, así que pasaron la noche cerca del aeropuerto.",
+        "Cada primavera el jardín se llena de tulipanes y narcisos blancos.",
+        "aprender cosas nuevas lleva tiempo",
+        "un lugar tranquilo para leer",
+    ],
+}
+# Out-of-alphabet control: must come back 'unknown' from the trigram
+# model (no vocabulary trigram fires).
+UNKNOWN_TEXTS = ["你好 世界 这是 中文 文本", "42 17 99 -- !!", ""]
+
+
+def run(spark):
+    from featurewiz_spark.text.langid import add_language_id_ngram
+    from featurewiz_spark.text.stats import add_language_id_stopword
+
+    rows, i = [], 0
+    for lang, sents in FIXTURE.items():
+        for s in sents:
+            rows.append((i, lang, s))
+            i += 1
+    for s in UNKNOWN_TEXTS:
+        rows.append((i, "unknown", s))
+        i += 1
+    df = spark.createDataFrame(rows, "doc_id long, truth string, text string")
+    ng = {r["doc_id"]: r["lang_pred"]
+          for r in add_language_id_ngram(df, "text", "lang_pred").collect()}
+    sw = {r["doc_id"]: r["lang_pred"]
+          for r in add_language_id_stopword(df, "text", "lang_pred").collect()}
+    truth = {r[0]: r[1] for r in rows}
+
+    def acc(pred, langs):
+        ids = [d for d, t in truth.items() if t in langs]
+        hit = sum(pred[d] == truth[d] for d in ids)
+        return hit, len(ids)
+
+    table = []
+    for lang in list(FIXTURE) + ["unknown"]:
+        h_ng, n = acc(ng, {lang})
+        h_sw, _ = acc(sw, {lang})
+        table.append((lang, n, h_ng, h_sw))
+    h_ng, n = acc(ng, set(FIXTURE))
+    h_sw, _ = acc(sw, set(FIXTURE))
+    table.append(("ALL (4 langs)", n, h_ng, h_sw))
+    misses = [(d, truth[d], ng[d]) for d in truth if ng[d] != truth[d]]
+    return table, misses
+
+
+def main():
+    from featurewiz_spark.session import get_spark
+
+    spark = get_spark(app_name="langid_probe", cores=8, shuffle_partitions=8)
+    table, misses = run(spark)
+    lines = [
+        "",
+        "## Language-ID accuracy probe (round 4)",
+        "",
+        "Held-out fixture (tools/langid_probe.py — disjoint from the",
+        "training corpus), both classifiers run through their real Spark",
+        "projections:",
+        "",
+        "| truth | n | trigram correct | stopword correct |",
+        "|---|---|---|---|",
+    ]
+    for lang, n, h_ng, h_sw in table:
+        lines.append(f"| {lang} | {n} | {h_ng} | {h_sw} |")
+    lines.append("")
+    if misses:
+        lines.append("Trigram misses: " +
+                     "; ".join(f"doc{d} {t}→{p}" for d, t, p in misses))
+    else:
+        lines.append("Trigram misses: none.")
+    out = "\n".join(lines) + "\n"
+    print(out)
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "LANGID.md")
+    header = "# Language-ID probe\n"
+    if not os.path.exists(bench):
+        with open(bench, "w") as f:
+            f.write(header)
+    with open(bench, "a") as f:
+        f.write(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
