@@ -1031,6 +1031,31 @@ def _q70_bucketed_ordered_te(spark, sf):
     )
 
 
+def _q71_dist_ranking(spark, sf):
+    """F2 ranking with engine='hist' (selection/dist_gbt.py): the
+    distributed histogram GBT trains on EVERY row — binned compact
+    frame + per-level int64-quantized gradient histograms, no driver
+    sample. Like q35 the fit is not SQL-expressible, so the oracle PINS
+    the selected list per scale factor; the property under test is that
+    full-data distributed training returns the same list at any
+    partitioning/cluster size (int64 histogram sums are exact, so
+    splits cannot tie-flip)."""
+    from featurewiz_spark.selection.ranker import recursive_feature_ranking
+
+    li = _t(spark, sf, "lineitem")
+    sel = recursive_feature_ranking(
+        li,
+        ["l_quantity", "l_discount", "l_tax", "l_linenumber"],
+        "l_extendedprice",
+        "Regression",
+        n_slices=1,
+        engine="hist",
+        hist_rounds=5,
+        hist_depth=4,
+    )
+    return spark.createDataFrame([(c,) for c in sel], "feature string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1103,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_blocked_topk": _q68_blocked_topk,
         "q69_stream_sessionize": _q69_stream_sessionize,
         "q70_bucketed_ordered_te": _q70_bucketed_ordered_te,
+        "q71_dist_ranking": _q71_dist_ranking,
     }
 
 
@@ -2085,6 +2111,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY ok
                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        # pinned per SF (q35 pattern): the fit is iterative; the
+        # correctness property is that FULL-DATA distributed training
+        # returns this exact list at any partitioning (int64 histogram
+        # sums cannot tie-flip)
+        "q71_dist_ranking": """
+            SELECT unnest(CASE WHEN (SELECT count(*) FROM lineitem) = 6000
+                   THEN ['l_quantity', 'l_discount', 'l_tax']
+                   ELSE ['l_quantity', 'l_discount', 'l_tax',
+                         'l_linenumber'] END) AS feature
         """,
     }
 

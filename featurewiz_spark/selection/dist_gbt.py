@@ -123,25 +123,33 @@ class SparkGBT:
         self.base_: float = 0.0
 
     # ------------------------------------------------------------------
-    def _bin_edges(self, df: DataFrame, cols: list[str]) -> list[np.ndarray]:
-        """Per-feature quantile edges from a deterministic hash-ordered
-        sample (the xgboost/lightgbm design: edges from a sketch/sample,
-        gradient statistics from EVERY row). NOT approx_percentile: its
-        GK-sketch merge order varies with partitioning, so edges — and
-        therefore split gains — would drift across cluster sizes. The
-        hash-ordered top-n is partition-invariant (a total order; rows
-        tied at the boundary are duplicates, so the value multiset is
-        identical either way), and orderBy().limit() executes as
-        per-partition top-k + merge, no full sort."""
+    def _edge_sample(
+        self, df: DataFrame, cols: list[str], target: str
+    ) -> pd.DataFrame:
+        """Deterministic hash-ordered sample (the xgboost/lightgbm
+        design: edges — and here also the target's affine scaling — from
+        a sketch/sample, gradient statistics from EVERY row). NOT
+        approx_percentile / avg(): sketch-merge and float-sum order vary
+        with partitioning, so edges and the y-scale — and therefore
+        split gains — would drift across cluster sizes. The hash-ordered
+        top-n is partition-invariant (a total order; rows tied at the
+        boundary are duplicates, so the value multiset is identical
+        either way), and orderBy().limit() executes as per-partition
+        top-k + merge, no full sort."""
         n_edge_rows = 65536
-        sample = (
-            df.select(*[F.col(c).cast("double").alias(c) for c in cols])
-            .withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+        sel = cols + [target]
+        return (
+            df.select(*[F.col(c).cast("double").alias(c) for c in sel])
+            .withColumn("__h", F.xxhash64(*[F.col(c) for c in sel]))
             .orderBy("__h")
             .limit(n_edge_rows)
             .drop("__h")
             .toPandas()
         )
+
+    def _bin_edges(
+        self, sample: pd.DataFrame, cols: list[str]
+    ) -> list[np.ndarray]:
         probs = np.linspace(0, 1, self.n_bins + 1)[1:-1]
         edges = []
         for c in cols:
@@ -152,8 +160,10 @@ class SparkGBT:
             )
         return edges
 
-    def _binned(self, df: DataFrame, cols: list[str], target: str) -> DataFrame:
-        edges = self._bin_edges(df, cols)
+    def _binned(
+        self, df: DataFrame, cols: list[str], target: str,
+        edges: list[np.ndarray],
+    ) -> DataFrame:
         schema = T.StructType(
             [
                 T.StructField("b", T.ArrayType(T.IntegerType()), False),
@@ -296,18 +306,33 @@ class SparkGBT:
     def fit(self, df: DataFrame, feature_cols: list[str], target: str):
         n_feat = len(feature_cols)
         self.total_gain_ = np.zeros(n_feat)
-        binned = self._binned(df, feature_cols, target).persist()
+        sample = self._edge_sample(df, feature_cols, target)
+        ys = sample[target].to_numpy(dtype=np.float64)
+        ys = ys[~np.isnan(ys)]
+        if not len(ys):
+            raise ValueError("no rows with a non-null target")
+        edges = self._bin_edges(sample, feature_cols)
+        src = self._binned(df, feature_cols, target, edges)
+        if self.objective == "reg:squarederror":
+            # Standardize y internally (affine transform from the SAME
+            # deterministic sample as the edges — exact aggregates would
+            # re-import float-sum partition-order noise): raw-magnitude
+            # targets make |g| ~ |y|, and int64-quantized histogram
+            # cells budget rows_per_cell × |g| × 2^24 < 2^63 — a
+            # billion-row node on a 5-digit target would overflow. Gains
+            # scale by s² UNIFORMLY (G²/(H+λ): H is y-invariant), so
+            # split choices, tree structure, and the importance ORDERING
+            # the ranking consumes are unchanged; total_gain_ is
+            # reported in standardized units.
+            m = float(ys.mean())
+            s = float(ys.std()) or 1.0
+            src = src.withColumn("y", (F.col("y") - F.lit(m)) / F.lit(s))
+            self.base_ = 0.0
+        else:
+            p = min(max(float(ys.mean()), 1e-6), 1 - 1e-6)
+            self.base_ = math.log(p / (1 - p))
+        binned = src.persist()
         try:
-            agg = binned.select(
-                F.avg("y").alias("m"), F.count("y").alias("n")
-            ).first()
-            if not agg["n"]:
-                raise ValueError("no rows with a non-null target")
-            if self.objective == "reg:squarederror":
-                self.base_ = float(agg["m"])
-            else:
-                p = min(max(float(agg["m"]), 1e-6), 1 - 1e-6)
-                self.base_ = math.log(p / (1 - p))
             self.trees_ = []
             for _ in range(self.n_rounds):
                 tree: dict = {}

@@ -286,3 +286,27 @@ def test_spark_gbt_classification_and_nulls(spark):
         df, ["a", "b"], "label", "Classification", engine="hist",
         hist_rounds=3, hist_depth=3)
     assert picked[0] == "a"
+
+
+def test_spark_gbt_large_magnitude_target(spark):
+    """Regression for the int64 histogram overflow budget: a 1e7-scale
+    target must (a) still learn (importances rank signal first) and
+    (b) stay partition-invariant — the internal standardization derives
+    its affine transform from the deterministic edge sample, not from
+    float aggregates."""
+    from featurewiz_spark.selection.dist_gbt import SparkGBT
+
+    rng = np.random.default_rng(66)
+    n = 5000
+    pdf = pd.DataFrame({
+        "a": rng.normal(size=n),
+        "b": rng.normal(size=n),
+    })
+    pdf["y"] = 1e7 * pdf.a + 1e5 * rng.normal(size=n)
+    df = spark.createDataFrame(pdf)
+    g5 = SparkGBT(n_rounds=2, max_depth=2).fit(
+        df.repartition(5), ["a", "b"], "y").feature_importances()
+    g11 = SparkGBT(n_rounds=2, max_depth=2).fit(
+        df.repartition(11), ["a", "b"], "y").feature_importances()
+    assert np.array_equal(g5, g11)
+    assert g5[0] > g5[1]
