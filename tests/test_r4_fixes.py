@@ -375,6 +375,30 @@ def test_langid_sql_mirror_matches_spark(spark, duck):
     assert got == oracle
 
 
+def test_langid_pandas_and_expr_impls_agree(spark):
+    """The Arrow-kernel default and the pure-JVM expression path must
+    return identical predictions — the kernel mirrors the expression's
+    accumulation order exactly (in-vocab adds in text order, then the
+    closed-form oov*fallback term), so even score ties resolve the same
+    way. Probed on real fixture docs plus edge rows (null / empty /
+    all-OOV / tie-bait short fragments)."""
+    from featurewiz_spark.text.langid import add_language_id_ngram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "12345 !!"),
+         (100004, "la"), (100005, "de la en el und the")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    a = {r["doc_id"]: r["lang_pred"]
+         for r in add_language_id_ngram(df, impl="pandas").collect()}
+    b = {r["doc_id"]: r["lang_pred"]
+         for r in add_language_id_ngram(df, impl="expr").collect()}
+    assert a == b
+    assert len(a) == df.count()
+
+
 # --- PIL-gated real image decode (stub fallback preserved) ---------------
 
 def test_image_decoder_gate_stub_fallback(spark):
