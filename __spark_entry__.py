@@ -1056,6 +1056,32 @@ def _q71_dist_ranking(spark, sf):
     return spark.createDataFrame([(c,) for c in sel], "feature string")
 
 
+def _q72_asof_model_fallback(spark, sf):
+    """J5 model-predicted join fallback (reference my_encoders.py:
+    1438-1453, 1756-1780 — regression-imputed feature values for test
+    rows with unseen dates). Tight 12-hour tolerance so a large share
+    of events MISS the as-of and exercise the per-user linear-trend
+    fill: slope from covar_pop/var_pop over days-since-origin (shift-
+    centered regressor keeps both engines far from cancellation),
+    misses on degenerate timelines fall to the reference's fillna(0).
+    round(5): model predictions are slope*x+icpt chains of double ops."""
+    from featurewiz_spark.operators.asof import asof_join_model_fallback
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("pv")
+    )
+    r = asof_join_model_fallback(
+        ev, purchases, on="user_id", left_ts="ts", right_ts="snap_ts",
+        value_col="pv", tolerance="12 hours", strict=True,
+    )
+    return r.select(
+        "event_id", "user_id", "ts",
+        F.round("pv_asof", 5).alias("pv_filled"),
+        F.col("pv_asof_src").alias("pv_src"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1129,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_stream_sessionize": _q69_stream_sessionize,
         "q70_bucketed_ordered_te": _q70_bucketed_ordered_te,
         "q71_dist_ranking": _q71_dist_ranking,
+        "q72_asof_model_fallback": _q72_asof_model_fallback,
     }
 
 
@@ -2121,6 +2148,56 @@ def oracle_sql() -> dict[str, str]:
                    THEN ['l_quantity', 'l_discount', 'l_tax']
                    ELSE ['l_quantity', 'l_discount', 'l_tax',
                          'l_linenumber'] END) AS feature
+        """,
+        # J5: as-of misses filled by per-key linear trend. The fit CTE
+        # mirrors the Spark fit exactly: covar_pop/var_pop over a
+        # days-since-origin regressor (shift-centered — var ~1e4, not
+        # ~1e23, so both engines' one-pass covariances agree well past
+        # the rounding); degenerate timelines (var=0) -> NULL slope ->
+        # reference fillna(0)
+        "q72_asof_model_fallback": """
+            WITH u AS (
+                SELECT user_id, ts, event_id, 0 AS side,
+                       NULL::DOUBLE AS pv, NULL::TIMESTAMP AS pts
+                FROM events
+                UNION ALL
+                SELECT user_id, ts, NULL, 1, value, ts
+                FROM events WHERE event_type = 'purchase'
+            ), m AS (
+                SELECT *,
+                  last_value(pv IGNORE NULLS) OVER w AS mpv,
+                  last_value(pts IGNORE NULLS) OVER w AS mpts
+                FROM u
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), a AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN mpts >= ts - INTERVAL 12 HOUR
+                            THEN mpv END AS matched
+                FROM m WHERE side = 0
+            ), fs AS (
+                SELECT user_id, value AS pv,
+                       (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                         / 86400e6 AS x
+                FROM events WHERE event_type = 'purchase'
+            ), fit AS (
+                SELECT user_id,
+                       CASE WHEN var_pop(x) > 0
+                            THEN covar_pop(pv, x) / var_pop(x) END AS slope,
+                       avg(pv) AS my, avg(x) AS mx
+                FROM fs GROUP BY user_id
+            )
+            SELECT a.event_id, a.user_id, a.ts,
+                   round(coalesce(
+                       a.matched,
+                       fit.slope * ((epoch_us(a.ts)
+                           - epoch_us(TIMESTAMP '2024-01-01')) / 86400e6)
+                         + (fit.my - fit.slope * fit.mx),
+                       0.0), 5) AS pv_filled,
+                   CASE WHEN a.matched IS NOT NULL THEN 'asof'
+                        WHEN fit.slope IS NOT NULL THEN 'model'
+                        ELSE 'fill' END AS pv_src
+            FROM a LEFT JOIN fit USING (user_id)
         """,
     }
 

@@ -321,3 +321,106 @@ def latest_per_entity(
         F.col("__s").getField(ts).alias(ts),
         *[F.col("__s").getField(c).alias(c) for c in value_cols],
     )
+
+
+def asof_join_model_fallback(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    direction: str = "backward",
+    tolerance: str | None = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+    x_origin: str = "2024-01-01",
+    fill: float = 0.0,
+) -> DataFrame:
+    """As-of join whose tolerance misses are filled by a per-key linear
+    trend model — the J5 "model-predicted join fallback".
+
+    The reference trains a regression to predict a lag/trend feature for
+    test rows whose (key, date) was never seen in training
+    (reference my_encoders.py:1438-1453 XGBRegressor for lags,
+    :1756-1780 LinearRegression for trend columns). The Spark-first
+    re-expression fits one closed-form linear model per key over the
+    right table's own timeline:
+
+      fit:   ``slope_k = covar_pop(y, x) / var_pop(x)`` per key — ONE
+             distributed hash aggregate with map-side partials; the
+             fitted table is |keys| rows (broadcast).
+      apply: ``coalesce(asof_match, slope_k*x + intercept_k, fill)`` —
+             a broadcast equi-join, no extra shuffle beyond the as-of's
+             own single exchange.
+
+    The regressor ``x`` is DAYS since ``x_origin`` (not raw epoch
+    microseconds): centering keeps var_pop ~1e4 instead of ~1e23, so
+    the one-pass covariance is far from cancellation and engines agree
+    to well past 6dp — the property the DuckDB oracle hash relies on.
+    Keys with a degenerate timeline (var_pop(x) == 0: single snapshot
+    or all-equal timestamps) have no slope; their misses fall through
+    to ``fill`` (the reference's ``fillna(0)``, my_encoders.py:1427).
+
+    Output columns: ``{value_col}{suffix}`` (filled) and
+    ``{value_col}{suffix}_src`` ('asof' | 'model' | 'fill').
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # a CONSTANT NTZ→TZ offset cancels (linear models are shift-
+    # invariant in x), but a DST-variable offset warps x nonuniformly
+    _require_utc_for_ntz(left, left_ts, "asof_join_model_fallback")
+    _require_utc_for_ntz(right, right_ts, "asof_join_model_fallback")
+    matched_col = f"{value_col}{suffix}"
+    src_col = f"{matched_col}_src"
+    if src_col in left.columns:
+        raise ValueError(
+            f"asof_join_model_fallback: output column {src_col!r} already "
+            "exists on the left side — pass a different suffix"
+        )
+
+    def _x(col):
+        # days since origin, exact integer microseconds → double division
+        return (
+            F.unix_micros(F.col(col).cast("timestamp"))
+            - F.unix_micros(F.lit(x_origin).cast("timestamp"))
+        ) / F.lit(86400e6)
+
+    fit = (
+        right.groupBy(*keys)
+        .agg(
+            F.covar_pop(F.col(value_col), _x(right_ts)).alias("__cov"),
+            F.var_pop(_x(right_ts)).alias("__var"),
+            F.avg(value_col).alias("__my"),
+            F.avg(_x(right_ts)).alias("__mx"),
+        )
+        .withColumn(
+            "__slope",
+            F.when(F.col("__var") > 0, F.col("__cov") / F.col("__var")),
+        )
+        .withColumn(
+            "__icpt", F.col("__my") - F.col("__slope") * F.col("__mx")
+        )
+        .select(*keys, "__slope", "__icpt")
+    )
+
+    base = asof_join(
+        left, right, on=keys, left_ts=left_ts, right_ts=right_ts,
+        value_cols=[value_col], direction=direction,
+        tolerance=tolerance, strict=strict, suffix=suffix,
+    )
+    pred = F.col("__slope") * _x(left_ts) + F.col("__icpt")
+    out = (
+        base.join(F.broadcast(fit), on=keys, how="left")
+        .withColumn(
+            src_col,
+            F.when(F.col(matched_col).isNotNull(), F.lit("asof"))
+            .when(F.col("__slope").isNotNull(), F.lit("model"))
+            .otherwise(F.lit("fill")),
+        )
+        .withColumn(
+            matched_col,
+            F.coalesce(F.col(matched_col), pred, F.lit(float(fill))),
+        )
+        .drop("__slope", "__icpt")
+    )
+    return out

@@ -454,3 +454,65 @@ def test_image_decoder_real_pil_path(spark):
     assert np.isclose(f[2], (255 + 0 + 0 + 255) / 4.0)
     assert out[1]["decode_error"] is None
     assert out[2]["features"] is None and out[2]["decode_error"]
+
+
+# --- J5: as-of join with model-predicted fallback -------------------------
+
+def test_asof_model_fallback_branches(spark):
+    """All three fill branches in one frame: a matched row keeps its
+    as-of value; a miss on a 2-point key gets the EXACT per-key linear
+    trend (data constructed linear, so the closed-form model recovers
+    y(t) perfectly); a miss on a single-snapshot key (var_pop == 0, no
+    slope) falls to the reference's fillna(0)."""
+    from datetime import datetime
+
+    from featurewiz_spark.operators.asof import asof_join_model_fallback
+
+    def ts(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    # key 1: purchases at d1 (10.0) and d11 (20.0) — slope 1.0/day.
+    # key 2: one purchase only (degenerate timeline).
+    right = spark.createDataFrame(
+        [(1, ts(1), 10.0), (1, ts(11), 20.0), (2, ts(1), 5.0)],
+        "user_id int, snap_ts timestamp, pv double",
+    )
+    left = spark.createDataFrame(
+        [(100, 1, ts(11, 6)),   # within 1 day of d11 -> asof 20.0
+         (200, 1, ts(21)),      # miss -> model: 10 + (21-1) = 30.0
+         (300, 2, ts(21))],     # miss, var=0 -> fill 0.0
+        "event_id int, user_id int, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join_model_fallback(
+            left, right, on="user_id", left_ts="ts", right_ts="snap_ts",
+            value_col="pv", tolerance="1 day",
+        ).collect()
+    }
+    assert out[100]["pv_asof_src"] == "asof"
+    assert out[100]["pv_asof"] == 20.0
+    assert out[200]["pv_asof_src"] == "model"
+    assert abs(out[200]["pv_asof"] - 30.0) < 1e-9
+    assert out[300]["pv_asof_src"] == "fill"
+    assert out[300]["pv_asof"] == 0.0
+
+
+def test_asof_model_fallback_src_clash_raises(spark):
+    from datetime import datetime
+
+    from featurewiz_spark.operators.asof import asof_join_model_fallback
+
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1.0)],
+        "user_id int, snap_ts timestamp, pv double",
+    )
+    left = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 2), "x")],
+        "event_id int, user_id int, ts timestamp, pv_asof_src string",
+    )
+    with pytest.raises(ValueError, match="pv_asof_src"):
+        asof_join_model_fallback(
+            left, right, on="user_id", left_ts="ts", right_ts="snap_ts",
+            value_col="pv",
+        )
