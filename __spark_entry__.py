@@ -467,9 +467,9 @@ def _q32_simhash(spark, sf):
 
 
 def _q33_langid(spark, sf):
-    """Stopword-vote language ID. Oracle: per-language distinct stopword
-    hits (DuckDB list_intersect ≡ Spark array_intersect) with the argmax
-    tie broken by lang DESC — exactly Spark's struct array_max order."""
+    """Trigram-profile language ID (r4; Arrow-kernel default). The
+    DuckDB oracle SQL is GENERATED from the same profile table
+    (langid_sql_ctes), so classifier and oracle cannot drift."""
     from featurewiz_spark.text.stats import add_language_id
 
     docs = _tp(spark, sf, "documents")
@@ -2176,10 +2176,15 @@ def oracle_sql() -> dict[str, str]:
                             THEN mpv END AS matched
                 FROM m WHERE side = 0
             ), fs AS (
+                -- fully-observed pairs only (mirrors the operator's
+                -- fit_src filter): covar_pop drops null-y rows but
+                -- var_pop/avg(x) would not
                 SELECT user_id, value AS pv,
                        (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
                          / 86400e6 AS x
-                FROM events WHERE event_type = 'purchase'
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND value IS NOT NULL AND ts IS NOT NULL
             ), fit AS (
                 SELECT user_id,
                        CASE WHEN var_pop(x) > 0

@@ -81,17 +81,26 @@ def asof_join(
     # Catalyst EXPRESSION_TYPE_IS_NOT_ORDERABLE at execution.
     from pyspark.sql import types as _T
 
-    bad = [
-        c for c in value_cols
-        if isinstance(right.schema[c].dataType, _T.MapType)
-    ]
+    def _orderable(dt) -> bool:
+        # mirrors Catalyst's TypeUtils ordering rule: maps are not
+        # orderable ANYWHERE in the type tree (struct<m:map<..>> and
+        # array<map<..>> fail the same way a bare map does)
+        if isinstance(dt, _T.MapType):
+            return False
+        if isinstance(dt, _T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, _T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    bad = [c for c in value_cols if not _orderable(right.schema[c].dataType)]
     if bad:
         raise ValueError(
-            f"asof_join: value column(s) {bad} are MapType (non-orderable) "
-            "— the matched-row payload must sort deterministically; "
-            "exclude them from value_cols (e.g. re-join them by the "
-            "matched timestamp afterwards) or encode them as "
-            "array<struct<key,value>>"
+            f"asof_join: value column(s) {bad} contain MapType "
+            "(non-orderable) — the matched-row payload must sort "
+            "deterministically; exclude them from value_cols (e.g. "
+            "re-join them by the matched timestamp afterwards) or "
+            "encode them as array<struct<key,value>>"
         )
 
     # tag: right rows must sort BEFORE left rows at equal ts for
@@ -385,8 +394,15 @@ def asof_join_model_fallback(
             - F.unix_micros(F.lit(x_origin).cast("timestamp"))
         ) / F.lit(86400e6)
 
+    # fit only on fully-observed (ts, value) pairs: covar_pop drops
+    # null-y rows but var_pop/avg(x) would not, so a nullable value
+    # column would mix THREE different row sets into one OLS estimate
+    # (slope biased whenever nulls correlate with time)
+    fit_src = right.filter(
+        F.col(value_col).isNotNull() & F.col(right_ts).isNotNull()
+    )
     fit = (
-        right.groupBy(*keys)
+        fit_src.groupBy(*keys)
         .agg(
             F.covar_pop(F.col(value_col), _x(right_ts)).alias("__cov"),
             F.var_pop(_x(right_ts)).alias("__var"),

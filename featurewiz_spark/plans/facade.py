@@ -343,9 +343,17 @@ class FeatureWizSpark:
         # the SAME integer codes, or downstream train/test concatenation
         # sees int codes vs raw strings. Values unseen at fit → NULL
         # (there is no code for them — surfacing NULL beats inventing
-        # one). Targets absent from df pass untouched.
+        # one). Targets absent from df pass untouched. Only STRING
+        # columns are remapped: a frame whose target is already numeric
+        # (user pre-encoded it, or fit_transform output fed back in)
+        # would probe int keys against a map<string,int> and silently
+        # NULL every label.
+        from pyspark.sql import types as _T
+
         for t, m in getattr(self, "_target_maps", {}).items():
-            if t in df.columns:
+            if t in df.columns and isinstance(
+                df.schema[t].dataType, _T.StringType
+            ):
                 mexpr = F.create_map(
                     *[x for v, i in m.items() for x in (F.lit(v), F.lit(i))]
                 )

@@ -131,20 +131,16 @@ class SparkGBT:
         a sketch/sample, gradient statistics from EVERY row). NOT
         approx_percentile / avg(): sketch-merge and float-sum order vary
         with partitioning, so edges and the y-scale — and therefore
-        split gains — would drift across cluster sizes. The hash-ordered
-        top-n is partition-invariant (a total order; rows tied at the
-        boundary are duplicates, so the value multiset is identical
-        either way), and orderBy().limit() executes as per-partition
-        top-k + merge, no full sort."""
-        n_edge_rows = 65536
+        split gains — would drift across cluster sizes. Delegates to
+        ranker.deterministic_sample (ONE copy of the hash-ordered-top-n
+        invariance argument to keep correct)."""
+        from featurewiz_spark.selection.ranker import deterministic_sample
+
         sel = cols + [target]
-        return (
-            df.select(*[F.col(c).cast("double").alias(c) for c in sel])
-            .withColumn("__h", F.xxhash64(*[F.col(c) for c in sel]))
-            .orderBy("__h")
-            .limit(n_edge_rows)
-            .drop("__h")
-            .toPandas()
+        return deterministic_sample(
+            df.select(*[F.col(c).cast("double").alias(c) for c in sel]),
+            sel,
+            65536,
         )
 
     def _bin_edges(
@@ -233,8 +229,15 @@ class SparkGBT:
                     for j in range(n_feat):
                         bj = sub[:, j]
                         nb = int(bj.max()) + 1 if len(bj) else 1
-                        gh = np.bincount(bj, weights=gs, minlength=nb)
-                        hh = np.bincount(bj, weights=hs, minlength=nb)
+                        # np.add.at on int64 buffers, NOT bincount
+                        # weights= — bincount casts weights to float64,
+                        # which is exact only to 2^53 and would quietly
+                        # void the whole int64-determinism invariant at
+                        # ~5e8 row-gradient-units per partition cell
+                        gh = np.zeros(nb, dtype=np.int64)
+                        hh = np.zeros(nb, dtype=np.int64)
+                        np.add.at(gh, bj, gs)
+                        np.add.at(hh, bj, hs)
                         cc = np.bincount(bj, minlength=nb)
                         for b in np.nonzero(cc)[0]:
                             key = (int(nid), j, int(b))
@@ -268,11 +271,16 @@ class SparkGBT:
             )
             .collect()
         )
+        # keep QUANTIZED INT sums all the way into the split search:
+        # collect() row order is nondeterministic, and float re-sums of
+        # the per-bin values in dict order would drift across runs. Ints
+        # sum exactly in any order; _best_split converts each exact sum
+        # to float once, at the point of use.
         hists: dict = {}
         for r in out:
             hists.setdefault(int(r["node"]), {}).setdefault(int(r["feat"]), {})[
                 int(r["bin"])
-            ] = (r["g"] / _QSCALE, r["h"] / _QSCALE)
+            ] = (int(r["g"]), int(r["h"]))
         return hists
 
     # ------------------------------------------------------------------
@@ -281,8 +289,10 @@ class SparkGBT:
         to lower (feature, bin)."""
         lam, mcw = self.reg_lambda, self.min_child_weight
         any_f = next(iter(feat_hists.values()))
-        G = sum(g for g, _ in any_f.values())
-        H = sum(h for _, h in any_f.values())
+        # exact int64 totals (order-free), converted to float ONCE
+        Gi = sum(g for g, _ in any_f.values())
+        Hi = sum(h for _, h in any_f.values())
+        G, H = Gi / _QSCALE, Hi / _QSCALE
         parent = G * G / (H + lam)
         best = (0.0, -1, -1, 0.0, 0.0)
         for j in range(n_feat):
@@ -290,10 +300,11 @@ class SparkGBT:
             if not bins or len(bins) <= 1:
                 continue
             order = sorted(bins)
-            gl = hl = 0.0
+            gli = hli = 0
             for b in order[:-1]:
-                gl += bins[b][0]
-                hl += bins[b][1]
+                gli += bins[b][0]
+                hli += bins[b][1]
+                gl, hl = gli / _QSCALE, hli / _QSCALE
                 hr = H - hl
                 if hl < mcw or hr < mcw:
                     continue

@@ -105,8 +105,6 @@ def recursive_feature_ranking(
         return []
     targets = [target] if isinstance(target, str) else list(target)
     target = targets[0]
-    total = df.count()
-    n_rounds = 20 if total >= 100_000 else 100  # featurewiz.py:1372-1375
     ncols = len(features)
     slice_size = math.ceil(ncols / n_slices)
     # top_num rule (featurewiz.py:1344-1354)
@@ -140,6 +138,10 @@ def recursive_feature_ranking(
         raise ValueError(f"unknown engine {engine!r}; use sample|hist")
 
     if engine == "sample":
+        # counted here, not up front: the hist engine trains on every
+        # row and must not pay a full count() scan it never uses
+        total = df.count()
+        n_rounds = 20 if total >= 100_000 else 100  # featurewiz.py:1372-1375
         pdf = deterministic_sample(
             df, features + [target], min(sample_rows, total)
         )

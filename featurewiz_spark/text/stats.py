@@ -74,14 +74,18 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def add_language_id(
-    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Language ID — char-trigram log-likelihood profiles (see
     text/langid.py; replaced the stopword-vote toy in r4 behind the
-    same API). Pure JVM projection, rides the scan."""
+    same API). Default impl='pandas' is an Arrow-batched kernel (the
+    measured-fastest path — higher-order functions never enter codegen,
+    see langid.py); pass impl='expr' for the bitwise-identical pure-JVM
+    projection on executors without Python workers."""
     from featurewiz_spark.text.langid import add_language_id_ngram
 
-    return add_language_id_ngram(df, text_col, out_col)
+    return add_language_id_ngram(df, text_col, out_col, impl=impl)
 
 
 def add_language_id_stopword(

@@ -516,3 +516,90 @@ def test_asof_model_fallback_src_clash_raises(spark):
             left, right, on="user_id", left_ts="ts", right_ts="snap_ts",
             value_col="pv",
         )
+
+
+# --- review-pass fixes (round 4, second batch) ----------------------------
+
+def test_asof_model_fallback_fit_ignores_null_values(spark):
+    """A nullable value column must not bias the fit: covar_pop drops
+    null-y rows but var_pop/avg(x) would keep them, mixing three row
+    sets into one OLS estimate. With the fit restricted to fully-
+    observed pairs, (0d, 10.0), (10d, 20.0), (5d, NULL) fits slope
+    exactly 1.0/day -> prediction at day 20 is 30.0 (the biased
+    aggregates would give slope 1.5 and a different intercept)."""
+    from datetime import datetime
+
+    from featurewiz_spark.operators.asof import asof_join_model_fallback
+
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10.0),
+         (1, datetime(2024, 1, 11), 20.0),
+         (1, datetime(2024, 1, 6), None)],
+        "user_id int, snap_ts timestamp, pv double",
+    )
+    left = spark.createDataFrame(
+        [(200, 1, datetime(2024, 1, 21))],
+        "event_id int, user_id int, ts timestamp",
+    )
+    r = asof_join_model_fallback(
+        left, right, on="user_id", left_ts="ts", right_ts="snap_ts",
+        value_col="pv", tolerance="1 day",
+    ).collect()[0]
+    assert r["pv_asof_src"] == "model"
+    assert abs(r["pv_asof"] - 30.0) < 1e-9
+
+
+def test_asof_join_rejects_nested_map_payload(spark):
+    """Non-orderable types nested inside structs/arrays must hit the
+    actionable guard, not Catalyst's opaque
+    EXPRESSION_TYPE_IS_NOT_ORDERABLE at execution."""
+    from datetime import datetime
+
+    from featurewiz_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2))], "user_id int, ts timestamp"
+    )
+    right = spark.sql(
+        "SELECT 1 AS user_id, TIMESTAMP '2024-01-01' AS snap_ts, "
+        "named_struct('k', 1, 'm', map('a', 1)) AS payload"
+    )
+    with pytest.raises(ValueError, match="MapType"):
+        asof_join(left, right, on="user_id", left_ts="ts",
+                  right_ts="snap_ts")
+
+
+def test_facade_transform_skips_already_numeric_target(spark):
+    """transform() remaps only StringType targets: a frame whose label
+    is already integer-coded (fit_transform output fed back, or user
+    pre-encoded) must pass through unchanged, not be NULLed by an int
+    probe into a map<string,int>."""
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    train = spark.createDataFrame(
+        [(float(i), float(i % 7), "yes" if i % 2 else "no")
+         for i in range(60)],
+        "f1 double, f2 double, label string",
+    )
+    fw = FeatureWizSpark(skip_sulov=True, skip_ranking=True)
+    fw.fit_transform(train, "label")
+    pre_encoded = spark.createDataFrame(
+        [(1.0, 2.0, 1), (2.0, 3.0, 0)], "f1 double, f2 double, label int"
+    )
+    out = fw.transform(pre_encoded)
+    got = sorted(r["label"] for r in out.select("label").collect())
+    assert got == [0, 1]
+
+
+def test_add_language_id_impl_passthrough(spark):
+    """The stable stats.add_language_id API exposes impl= so Python-less
+    executor deployments can select the pure-JVM expression path."""
+    from featurewiz_spark.text.stats import add_language_id
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and the cat")],
+        "doc_id long, text string",
+    )
+    a = add_language_id(df, "text").collect()[0]["lang_pred"]
+    b = add_language_id(df, "text", impl="expr").collect()[0]["lang_pred"]
+    assert a == b == "en"
