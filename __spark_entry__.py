@@ -1082,6 +1082,37 @@ def _q72_asof_model_fallback(spark, sf):
     )
 
 
+def _q73_stream_windowed_agg(spark, sf):
+    """Streaming tumbling-window aggregation under the STRICT batch
+    oracle — a REAL Structured Streaming run (readStream → window +
+    watermark → append parquet sink, three availableNow phases; shared
+    protocol with q69). Spark's tumbling windows align to the epoch
+    origin, so the DuckDB oracle is exact integer bucket arithmetic:
+    wk = epoch_us // window_us. Upgrades stream_windowed_agg from
+    pytest-only to oracle-green."""
+    import os
+
+    from featurewiz_spark.streaming.stream_features import (
+        run_windowed_agg_availablenow,
+    )
+
+    out = run_windowed_agg_availablenow(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        f"/tmp/fw_q73_{os.path.basename(os.path.normpath(sf))}",
+        keys=["user_id"],
+        ts="ts",
+        value="value",
+        window="7 days",
+        sentinel_overrides={"user_id": -1},
+    )
+    return out.select(
+        "user_id", "window_start", "window_end", "n",
+        F.round("value_sum", 6).alias("value_sum"),
+        F.round("value_avg", 6).alias("value_avg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1156,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_bucketed_ordered_te": _q70_bucketed_ordered_te,
         "q71_dist_ranking": _q71_dist_ranking,
         "q72_asof_model_fallback": _q72_asof_model_fallback,
+        "q73_stream_windowed_agg": _q73_stream_windowed_agg,
     }
 
 
@@ -2203,6 +2235,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fit.slope IS NOT NULL THEN 'model'
                         ELSE 'fill' END AS pv_src
             FROM a LEFT JOIN fit USING (user_id)
+        """,
+        # tumbling 7-day windows, epoch-aligned exactly like Spark's
+        # F.window: integer microsecond bucket arithmetic, no float in
+        # the window bounds
+        "q73_stream_windowed_agg": """
+            WITH b AS (
+                SELECT user_id, value,
+                       (epoch_us(ts) // 604800000000) AS wk
+                FROM events
+            )
+            SELECT user_id,
+                   make_timestamp(wk * 604800000000) AS window_start,
+                   make_timestamp((wk + 1) * 604800000000) AS window_end,
+                   count(*) AS n,
+                   round(sum(value), 6) AS value_sum,
+                   round(avg(value), 6) AS value_avg
+            FROM b GROUP BY user_id, wk
         """,
     }
 

@@ -116,6 +116,57 @@ def stream_exact_dedup(
     )
 
 
+def _three_phase_availablenow(
+    spark,
+    batch: DataFrame,
+    work_dir: str,
+    ts: str,
+    build,
+    sentinel_overrides: dict | None,
+    sentinel_times: tuple[str, str],
+) -> DataFrame:
+    """Shared availableNow protocol (see run_sessionize_availablenow for
+    the full why): phase 1 runs the data, phases 2-3 each append one
+    far-future sentinel row — append-mode emission uses the PREVIOUS
+    batch's watermark, so two sentinel phases guarantee the watermark
+    passes every real window/session. `build(stream)` maps the raw
+    readStream to the aggregated streaming DataFrame; returns the
+    parquet sink read back as a batch DataFrame (sentinel rows still
+    included — callers filter per their own output shape)."""
+    import os
+    import shutil
+
+    schema = batch.schema
+    shutil.rmtree(work_dir, ignore_errors=True)
+    in_dir = os.path.join(work_dir, "in")
+    out_dir = os.path.join(work_dir, "out")
+    ck_dir = os.path.join(work_dir, "ck")
+    batch.write.mode("overwrite").parquet(in_dir)
+
+    def phase():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    phase()
+    proto = batch.limit(1)
+    for st in sentinel_times:
+        sent = proto.withColumn(ts, F.lit(st).cast(schema[ts].dataType))
+        for c, v in (sentinel_overrides or {}).items():
+            sent = sent.withColumn(c, F.lit(v).cast(schema[c].dataType))
+        sent.write.mode("append").parquet(in_dir)
+        phase()
+    return spark.read.parquet(out_dir)
+
+
 def run_sessionize_availablenow(
     spark,
     source_parquet: str,
@@ -156,14 +207,7 @@ def run_sessionize_availablenow(
     the same bounded-state story at 100TB/day ingest; the parquet sink
     plus checkpoint IS the resume mechanism (exactly-once file sink).
     """
-    import os
-    import shutil
-
     sentinel_overrides = sentinel_overrides or {}
-    shutil.rmtree(work_dir, ignore_errors=True)
-    in_dir = os.path.join(work_dir, "in")
-    out_dir = os.path.join(work_dir, "out")
-    ck_dir = os.path.join(work_dir, "ck")
     batch = spark.read.parquet(source_parquet)
     schema = batch.schema
     if batch.limit(1).count() == 0:
@@ -182,7 +226,6 @@ def run_sessionize_availablenow(
                 ]
             ),
         )
-    batch.write.mode("overwrite").parquet(in_dir)
     # withWatermark rejects TIMESTAMP_NTZ: cast to TIMESTAMP inside the
     # stream (exact under a DST-free session timezone — enforced by the
     # SAME guard the batch ops use, so streaming never silently corrupts
@@ -193,31 +236,14 @@ def run_sessionize_availablenow(
     _require_utc_for_ntz(batch, ts, "run_sessionize_availablenow")
     ntz = isinstance(schema[ts].dataType, T.TimestampNTZType)
 
-    def phase():
-        stream = spark.readStream.schema(schema).parquet(in_dir)
+    def build(stream):
         if ntz:
             stream = stream.withColumn(ts, F.col(ts).cast("timestamp"))
-        sess = stream_sessionize(stream, keys, ts, gap=gap, watermark=watermark)
-        q = (
-            sess.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ck_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        return stream_sessionize(stream, keys, ts, gap=gap, watermark=watermark)
 
-    phase()
-    proto = batch.limit(1)
-    for st in sentinel_times:
-        sent = proto.withColumn(ts, F.lit(st).cast(schema[ts].dataType))
-        for c, v in sentinel_overrides.items():
-            sent = sent.withColumn(c, F.lit(v).cast(schema[c].dataType))
-        sent.write.mode("append").parquet(in_dir)
-        phase()
-
-    out = spark.read.parquet(out_dir)
+    out = _three_phase_availablenow(
+        spark, batch, work_dir, ts, build, sentinel_overrides, sentinel_times
+    )
     if ntz:
         out = out.withColumn(
             "session_start", F.col("session_start").cast("timestamp_ntz")
@@ -244,6 +270,78 @@ def run_sessionize_availablenow(
             out = out.filter(
                 ~F.col("session_start").eqNullSafe(F.lit(stime).cast(st_type))
             )
+    return out
+
+
+def run_windowed_agg_availablenow(
+    spark,
+    source_parquet: str,
+    work_dir: str,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    window: str = "10 minutes",
+    watermark: str = "1 second",
+    sentinel_overrides: dict | None = None,
+    sentinel_times: tuple[str, str] = ("2030-01-01 00:00:00",
+                                       "2030-01-02 00:00:00"),
+) -> DataFrame:
+    """Drive `stream_windowed_agg` (tumbling windows) through a REAL
+    Structured Streaming execution over a static parquet table and
+    return the sink as a batch DataFrame — equal to the batch tumbling-
+    window aggregation of the same events, which makes the streaming
+    path oracle-checkable. Same three-phase availableNow protocol as
+    `run_sessionize_availablenow` (shared `_three_phase_availablenow`).
+
+    `sentinel_overrides` is REQUIRED here (raise, not silently corrupt:
+    the sessionize runner can identify sentinel sessions by their
+    start, but a tumbling window containing a sentinel may be harder to
+    reason about under caller-chosen windows — an explicit impossible
+    key value is the robust contract)."""
+    if not sentinel_overrides:
+        raise ValueError(
+            "run_windowed_agg_availablenow: sentinel_overrides is "
+            "required (e.g. {'user_id': -1}) — the two fabricated "
+            "far-future sentinel rows are filtered by key"
+        )
+    batch = spark.read.parquet(source_parquet)
+    schema = batch.schema
+    if batch.limit(1).count() == 0:
+        bt = schema[ts].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [schema[k] for k in keys]
+                + [
+                    T.StructField("window_start", bt),
+                    T.StructField("window_end", bt),
+                    T.StructField("n", T.LongType()),
+                    T.StructField(f"{value}_sum", T.DoubleType()),
+                    T.StructField(f"{value}_avg", T.DoubleType()),
+                ]
+            ),
+        )
+    from featurewiz_spark.operators.windows import _require_utc_for_ntz
+
+    _require_utc_for_ntz(batch, ts, "run_windowed_agg_availablenow")
+    ntz = isinstance(schema[ts].dataType, T.TimestampNTZType)
+
+    def build(stream):
+        if ntz:
+            stream = stream.withColumn(ts, F.col(ts).cast("timestamp"))
+        return stream_windowed_agg(
+            stream, keys, ts, value, window=window, watermark=watermark
+        )
+
+    out = _three_phase_availablenow(
+        spark, batch, work_dir, ts, build, sentinel_overrides, sentinel_times
+    )
+    if ntz:
+        out = out.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+    for c, v in sentinel_overrides.items():
+        out = out.filter(~F.col(c).eqNullSafe(F.lit(v)))
     return out
 
 

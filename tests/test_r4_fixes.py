@@ -603,3 +603,43 @@ def test_add_language_id_impl_passthrough(spark):
     a = add_language_id(df, "text").collect()[0]["lang_pred"]
     b = add_language_id(df, "text", impl="expr").collect()[0]["lang_pred"]
     assert a == b == "en"
+
+
+# --- q73: streaming windowed agg runner contract --------------------------
+
+def test_windowed_agg_runner_requires_sentinel_overrides(spark, tmp_path):
+    """The ADVICE-class sentinel bug, pre-empted: fabricated far-future
+    rows cloned from a real row would silently corrupt results under
+    that row's key — the windowed runner refuses to run without an
+    explicit impossible-key override."""
+    from featurewiz_spark.streaming.stream_features import (
+        run_windowed_agg_availablenow,
+    )
+
+    with pytest.raises(ValueError, match="sentinel_overrides"):
+        run_windowed_agg_availablenow(
+            spark, "/root/testdata/sf0.001/events.parquet",
+            str(tmp_path / "w"), keys=["user_id"],
+        )
+
+
+def test_windowed_agg_runner_empty_source(spark, tmp_path):
+    """An empty source returns an empty frame of the output shape
+    instead of dying on the sink's schema inference."""
+    from featurewiz_spark.streaming.stream_features import (
+        run_windowed_agg_availablenow,
+    )
+
+    src = str(tmp_path / "empty.parquet")
+    spark.createDataFrame(
+        [], "user_id int, ts timestamp_ntz, value double"
+    ).write.parquet(src)
+    out = run_windowed_agg_availablenow(
+        spark, src, str(tmp_path / "w"), keys=["user_id"],
+        sentinel_overrides={"user_id": -1},
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "user_id", "window_start", "window_end", "n",
+        "value_sum", "value_avg",
+    }
