@@ -643,3 +643,41 @@ def test_windowed_agg_runner_empty_source(spark, tmp_path):
         "user_id", "window_start", "window_end", "n",
         "value_sum", "value_avg",
     }
+
+
+# --- audio decode (stdlib WAV — real, not stub) ---------------------------
+
+def test_extract_audio_features_wav_and_poison(spark):
+    """A 440Hz int16 mono WAV decodes for real through the stdlib path
+    (duration/rate/channels exact, rms ~ 1/sqrt(2) of amplitude); a
+    non-WAV payload and a NULL become poison rows, not job failures."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from featurewiz_spark.text.multimodal import extract_audio_features
+
+    sr, dur = 8000, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    pcm = (0.6 * np.sin(2 * math.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"ID3not-a-wav"), (3, None)],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    f = out[1]["features"]
+    assert out[1]["decode_error"] is None
+    assert f[0] == pytest.approx(dur)        # duration
+    assert f[1] == sr and f[2] == 1.0        # rate, channels
+    assert f[3] == pytest.approx(0.6 / math.sqrt(2), rel=1e-3)  # rms
+    assert f[4] == pytest.approx(0.6, rel=1e-3)                  # peak
+    assert out[2]["features"] is None and out[2]["decode_error"]
+    assert out[3]["features"] is None and "null content" in out[3]["decode_error"]
