@@ -1,0 +1,141 @@
+"""Round-4 at-scale probe: SparkGBT (engine='hist') at 1M rows.
+
+The distributed histogram GBT is the 100TB ranking path — it trains on
+EVERY row, and its correctness claim is bit-invariance across
+partitioning/cluster size (int64-quantized gradients sum exactly in any
+order; edges + y-scale come from a deterministic hash-ordered sample).
+q71 pins that at test SF; this probe evidences it at 1M rows:
+
+1. **Bit-invariance**: identical learned trees (split feature/bin per
+   node) and identical total_gain_ vectors at 8 vs 64 input partitions.
+2. **Signal recovery**: on y = 3*x0 - 2*x1 + 0.5*x2*x2 + noise with
+   three decoy features, the importance ordering puts the three signal
+   features first.
+3. Wall time per (rounds x depth) fit, min-of-k.
+
+Deterministic data: per-row rng seeded by row id, partitioning-proof.
+
+Usage: python tools/distgbt_probe_r4.py [rows] [cores]
+Appends a section to BENCH/TRANSFER.md (the feature-ranking evidence
+doc... actually to BENCH/DISTGBT.md, its own file).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+FEATURES = ["x0", "x1", "x2", "d0", "d1", "d2"]
+
+
+def _mix(ids: np.ndarray, j: int) -> np.ndarray:
+    """splitmix64-style finalizer per (id, feature): genuinely
+    decorrelated columns (a shared-multiplier LCG with per-feature
+    offsets is the SAME sequence shifted by a constant — every 'decoy'
+    would carry the signal almost perfectly; first cut of this probe
+    hit exactly that)."""
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (ids.astype(np.uint64)
+         + np.uint64((j + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    x ^= x >> np.uint64(33)
+    x = (x * np.uint64(0xFF51AFD7ED558CCD)) & M
+    x ^= x >> np.uint64(33)
+    x = (x * np.uint64(0xC4CEB9FE1A85EC53)) & M
+    x ^= x >> np.uint64(33)
+    return ((x >> np.uint64(11)).astype(np.float64)) / float(2**53)
+
+
+def _gen(batches):
+    for pdf in batches:
+        ids = pdf["id"].to_numpy()
+        cols = {}
+        # per-row deterministic values: hash-mix the id per feature —
+        # identical corpus at any partitioning, no RNG state
+        for j, c in enumerate(FEATURES):
+            cols[c] = _mix(ids, j)
+        noise = _mix(ids, 97) - 0.5
+        y = (3.0 * cols["x0"] - 2.0 * cols["x1"]
+             + 0.5 * cols["x2"] * cols["x2"] + 0.1 * noise)
+        cols["y"] = y
+        cols["id"] = ids
+        yield pd.DataFrame(cols)
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from featurewiz_spark import get_spark
+    from featurewiz_spark.selection.dist_gbt import SparkGBT
+
+    spark = get_spark("distgbt_r4", cores=cores, shuffle_partitions=cores * 4)
+    schema = ", ".join([f"{c} double" for c in FEATURES] + ["y double", "id long"])
+
+    def frame(parts: int):
+        return (
+            spark.range(rows)
+            .repartition(parts)
+            .mapInPandas(_gen, schema)
+        )
+
+    def fit(parts: int):
+        t0 = time.time()
+        m = SparkGBT(n_rounds=5, max_depth=4)
+        m.fit(frame(parts), FEATURES, "y")
+        return m, time.time() - t0
+
+    m8, s8a = fit(8)
+    m8b, s8b = fit(8)          # second fit for a warm min-of-2
+    m64, s64 = fit(64)
+
+    trees8 = [sorted(t.items()) for t in m8.trees_]
+    trees64 = [sorted(t.items()) for t in m64.trees_]
+    invariant = (
+        trees8 == trees64
+        and np.array_equal(m8.total_gain_, m64.total_gain_)
+        and trees8 == [sorted(t.items()) for t in m8b.trees_]
+    )
+    order = [FEATURES[i] for i in np.argsort(-m8.total_gain_, kind="stable")]
+    signal_first = set(order[:3]) == {"x0", "x1", "x2"}
+
+    lines = [
+        "# BENCH/DISTGBT.md — distributed histogram GBT at-scale probe",
+        "",
+        f"## {rows:,} rows x {len(FEATURES)} features, local[{cores}]",
+        "",
+        f"- bit-invariance (8 vs 64 partitions, AND re-fit at 8): "
+        f"**{'IDENTICAL trees + gains' if invariant else 'DIVERGED'}**",
+        f"- importance order: {order} — signal features first: "
+        f"**{signal_first}**",
+        f"- wall (5 rounds x depth 4, full-data): "
+        f"{min(s8a, s8b):.1f}s at 8 parts (runs {s8a:.1f}, {s8b:.1f}), "
+        f"{s64:.1f}s at 64 parts",
+        "",
+        "Every histogram cell is an exact int64 sum (np.add.at, not",
+        "float bincount), edges and the y-standardization come from the",
+        "deterministic hash-ordered sample, and the split search",
+        "consumes exact integer sums converted to float once — so the",
+        "learned ensemble is a pure function of the data multiset, not",
+        "of partitioning, which is the property a 1000-executor rerun",
+        "of a ranking job needs to reproduce a feature list bit-for-bit.",
+        "",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    if not invariant or not signal_first:
+        raise SystemExit("probe FAILED — not writing BENCH/DISTGBT.md")
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "DISTGBT.md")
+    with open(bench, "w") as f:
+        f.write(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
