@@ -324,16 +324,17 @@ def write_baseline_md(result: dict) -> None:
         "|---|---|",
     ] + [f"| {k} | {v:.2f} |" for k, v in result["queries"].items()] + [
         "",
-        "### Flagship steady state (events table, local[32], sf0.1)",
+        "### Flagship warm-up note (one-time calibration, not this run)",
         "",
-        "Codegen + JIT warm-up spans the first THREE runs of the",
-        "flagship in a fresh JVM (measured series on a calm host:",
-        "7.5, 2.9, 2.2, 1.8, 1.6, 1.7, 1.4, 1.4 s), so a min-of-2",
-        "publishes warm-up, not the plan. Steady-state floor:",
-        "**1.375 s = 72.7k feature-vectors/s** (min of 8 in one JVM).",
-        "The table above uses up to 5 contamination-gated attempts —",
-        "still conservative in a noisy window; treat the steady-state",
-        "figure as the plan's actual throughput.",
+        "A one-time calm-host calibration (local[32], sf0.1,",
+        "2026-08-17) showed codegen + JIT warm-up spanning the first",
+        "THREE flagship runs in a fresh JVM (series 7.5, 2.9, 2.2,",
+        "1.8, 1.6, 1.7, 1.4, 1.4 s; steady-state floor 1.375 s =",
+        "72.7k feature-vectors/s at that config), so a min-of-2",
+        "published warm-up, not the plan. The flagship number in the",
+        "table above therefore uses up to 5 contamination-gated",
+        "attempts; in a noisy window it is still a conservative",
+        "upper bound on the plan's steady-state time.",
     ]
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")

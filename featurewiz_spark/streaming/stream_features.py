@@ -212,8 +212,13 @@ def run_sessionize_availablenow(
     schema = batch.schema
     if batch.limit(1).count() == 0:
         # empty source: the sink would hold only _spark_metadata and
-        # the final read would raise 'Unable to infer schema' — return
+        # the final read would raise 'Unable to infer schema' — clean
+        # any stale work_dir from a previous run (the helper's rmtree
+        # never executes on this path) and return
         # an empty frame of the output shape instead
+        import shutil
+
+        shutil.rmtree(work_dir, ignore_errors=True)
         bt = schema[ts].dataType
         return spark.createDataFrame(
             [],
@@ -307,6 +312,9 @@ def run_windowed_agg_availablenow(
     batch = spark.read.parquet(source_parquet)
     schema = batch.schema
     if batch.limit(1).count() == 0:
+        import shutil
+
+        shutil.rmtree(work_dir, ignore_errors=True)
         bt = schema[ts].dataType
         return spark.createDataFrame(
             [],

