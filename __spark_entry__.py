@@ -1113,6 +1113,28 @@ def _q73_stream_windowed_agg(spark, sf):
     )
 
 
+def _q74_stream_exact_dedup(spark, sf):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) under the
+    strict batch oracle — a real readStream→append-sink run. WHICH
+    duplicate survives is micro-batch-order dependent, but the SET of
+    emitted content hashes is a pure function of the data, so the query
+    projects content_hash only; the oracle recomputes the same
+    normalize→md5→DISTINCT pipeline in SQL."""
+    import os
+
+    from featurewiz_spark.streaming.stream_features import (
+        run_exact_dedup_availablenow,
+    )
+
+    out = run_exact_dedup_availablenow(
+        spark,
+        os.path.join(sf, "documents.parquet"),
+        f"/tmp/fw_q74_{os.path.basename(os.path.normpath(sf))}",
+        text_col="text",
+    )
+    return out.select("content_hash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1188,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_dist_ranking": _q71_dist_ranking,
         "q72_asof_model_fallback": _q72_asof_model_fallback,
         "q73_stream_windowed_agg": _q73_stream_windowed_agg,
+        "q74_stream_exact_dedup": _q74_stream_exact_dedup,
     }
 
 
@@ -2252,6 +2275,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS value_sum,
                    round(avg(value), 6) AS value_avg
             FROM b GROUP BY user_id, wk
+        """,
+        # streaming dedup emits exactly one row per distinct normalized
+        # content hash; the survivor row is batch-order dependent but
+        # the hash set is not — Spark lower+\s+ regexp ≡ DuckDB with
+        # the 'g' flag, md5 hex strings agree byte-for-byte
+        "q74_stream_exact_dedup": """
+            SELECT DISTINCT
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                     AS content_hash
+            FROM documents
         """,
     }
 

@@ -419,3 +419,62 @@ def stream_asof_enrich(
     return events.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def run_exact_dedup_availablenow(
+    spark,
+    source_parquet: str,
+    work_dir: str,
+    text_col: str = "text",
+    event_time: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Drive `stream_exact_dedup` through a REAL Structured Streaming
+    execution over a static parquet table and return the sink as a
+    batch DataFrame. ONE availableNow phase suffices here — unlike the
+    windowed runners, dropDuplicatesWithinWatermark is a stateful
+    FILTER, not an aggregation: first-seen rows are emitted in the same
+    micro-batch they arrive in, so nothing waits on the watermark (the
+    watermark only EVICTS hash state afterwards).
+
+    The source carries no event-time column, so a literal one is
+    injected (`event_time`): with every row at one timestamp the
+    watermark never passes it and no state is evicted mid-run — exact
+    full-corpus dedup, which is what the batch oracle computes. A real
+    ingest pipeline uses its arrival timestamp instead, and eviction
+    bounds state by the dedup horizon (the operator's scale story).
+
+    Determinism contract: WHICH duplicate row survives depends on
+    micro-batch processing order (not reproducible), but the SET of
+    emitted content hashes — and the count per hash, namely one — is a
+    pure function of the data. Callers projecting `content_hash` get an
+    oracle-checkable result; projecting survivor payload columns gets
+    rows-only semantics."""
+    import os
+    import shutil
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    in_dir = os.path.join(work_dir, "in")
+    out_dir = os.path.join(work_dir, "out")
+    ck_dir = os.path.join(work_dir, "ck")
+    batch = spark.read.parquet(source_parquet)
+    if batch.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], batch.schema.add("__ingest_ts", T.TimestampType())
+            .add("content_hash", T.StringType())
+        )
+    batch.write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(in_dir)
+        .withColumn("__ingest_ts", F.lit(event_time).cast("timestamp"))
+    )
+    dedup = stream_exact_dedup(stream, text_col, ts="__ingest_ts")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
