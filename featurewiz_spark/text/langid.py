@@ -1,9 +1,12 @@
 """Character-trigram language identification (Cavnar & Trenkle 1994
 style n-gram text categorization, re-derived from the public method):
 per-language trigram log-likelihood profiles trained on a small seeded
-corpus embedded below, scored at scan speed as a pure JVM projection —
-literal map lookup + higher-order aggregate, no Python in the hot path,
-no shuffle.
+corpus embedded below, scored at scan speed with no shuffle. Two
+interchangeable scoring paths (bitwise-equal, pytest-pinned): the
+DEFAULT is an Arrow-batched pandas kernel (higher-order functions are
+CodegenFallback, so the 'stay JVM-side' rule inverts here — see
+add_language_id_ngram), with a pure JVM expression projection kept for
+Python-less executors.
 
 Replaces the 10-stopword-per-language voting toy (r3 verdict item 4)
 behind the same ``add_language_id`` API (text/stats.py delegates here).
@@ -28,9 +31,11 @@ Scoring. For document text t:
           carries no evidence — the fallback ordering would otherwise
           just pick the language with the smallest training corpus).
 
-Scale: per row this is O(len) map probes against a constant-folded
-literal map (~500 entries); plan has no exchange, no window, no UDF —
-it rides the scan like the quality features.
+Scale: per row this is O(len) dict/map probes against a constant
+profile table (~500 entries); the plan has no exchange and no window —
+it rides the scan like the quality features. The pandas default adds
+only the Arrow transfer of the text column (linear, partition-
+parallel); the expr path adds nothing but runs interpreted.
 """
 
 from __future__ import annotations
