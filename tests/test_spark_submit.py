@@ -73,3 +73,26 @@ def test_spark_submit_pyfiles_job(spark):
         assert {"extracted_text", "session_id", "n_chars"} <= cols
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_packaged_zip_matches_source():
+    """The committed --py-files artifact must be byte-identical to the
+    source tree. Found stale twice in round 4 (the audio leg was
+    missing from the zip while every local test passed — a cluster job
+    importing it would die on ImportError); this pins the invariant."""
+    import glob
+    import zipfile
+
+    z = zipfile.ZipFile(os.path.join(REPO, "dist", "featurewiz_spark.zip"))
+    names = set(z.namelist())
+    srcs = glob.glob(
+        os.path.join(REPO, "featurewiz_spark", "**", "*.py"), recursive=True
+    )
+    assert srcs
+    for f in srcs:
+        rel = os.path.relpath(f, REPO)
+        assert rel in names, f"{rel} missing from dist zip — run scripts/package.sh"
+        with open(f, "rb") as fh:
+            assert z.read(rel) == fh.read(), (
+                f"{rel} is stale in dist zip — run scripts/package.sh"
+            )
