@@ -1135,6 +1135,73 @@ def _q74_stream_exact_dedup(spark, sf):
     return out.select("content_hash")
 
 
+def _q75_dup_segment_filter(spark, sf):
+    """CCNet-style cross-document duplicated-segment removal: 8-token
+    chunks hashed → corpus document-frequency → chunks seen in >=2
+    distinct docs dropped → surviving text reassembled in order. The
+    boilerplate operator of an LLM curation pipeline (nav bars, cookie
+    banners); the oracle SQL is GENERATED from the same segmentation
+    definition (segments.duplicate_segment_filter_sql)."""
+    from featurewiz_spark.text.segments import duplicate_segment_filter
+
+    docs = _tp(spark, sf, "documents")
+    return duplicate_segment_filter(
+        docs, "text", "doc_id", chunk_tokens=8, min_docs=2
+    ).select("doc_id", "text_clean", "n_segments", "n_removed")
+
+
+def _q76_url_features(spark, sf):
+    """URL canonicalization + structural features. The documents table
+    has no URL column, so a deterministic messy URL is synthesized per
+    doc (scheme/case/default-port/tracking-param/fragment variants —
+    the exact mess a Common-Crawl fetch log carries), IDENTICALLY in
+    Spark and in the oracle; the operator then normalizes it and
+    extracts host/domain/depth/param features. Pure JVM regexp/array
+    expressions — rides the scan, no shuffle."""
+    from featurewiz_spark.text.urls import add_url_features
+
+    docs = _tp(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/pages/"),
+        F.col("lang"),
+        F.lit("/"),
+        did.cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("/index.html")),
+        F.lit("?utm_source=feed&b="),
+        (did % 7).cast("string"),
+        F.lit("&a="),
+        (did % 5).cast("string"),
+        F.lit("#frag-"),
+        (did % 4).cast("string"),
+    )
+    return add_url_features(docs.withColumn("url", raw)).select(
+        "doc_id", "url_norm", "url_host", "url_domain",
+        "url_depth", "url_n_params", "url_is_https",
+    )
+
+
+def _q77_repetition_signals(spark, sf):
+    """Gopher-style within-document repetition quality signals:
+    duplicate-chunk fraction, duplicate-word fraction, top-2/3-gram
+    occupancy. Oracle generated from the same gram definitions
+    (segments.repetition_signals_sql)."""
+    from featurewiz_spark.text.segments import add_repetition_signals
+
+    docs = _tp(spark, sf, "documents")
+    return add_repetition_signals(
+        docs, "text", "doc_id", chunk_tokens=8, ngram_ns=(2, 3)
+    ).select(
+        "doc_id", "rep_dup_chunk_frac", "rep_dup_word_frac",
+        "rep_top2gram_frac", "rep_top3gram_frac",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1211,6 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_asof_model_fallback": _q72_asof_model_fallback,
         "q73_stream_windowed_agg": _q73_stream_windowed_agg,
         "q74_stream_exact_dedup": _q74_stream_exact_dedup,
+        "q75_dup_segment_filter": _q75_dup_segment_filter,
+        "q76_url_features": _q76_url_features,
+        "q77_repetition_signals": _q77_repetition_signals,
     }
 
 
@@ -2286,6 +2356,48 @@ def oracle_sql() -> dict[str, str]:
                      AS content_hash
             FROM documents
         """,
+    } | _generated_oracles()
+
+
+def _generated_oracles() -> dict[str, str]:
+    """Oracles emitted by the SAME code that defines the Spark-side
+    segmentation / URL expressions (featurewiz_spark.text.segments /
+    .urls) — the two engines cannot drift because there is one
+    definition. Same discipline as the langid CTE generator (q33)."""
+    from featurewiz_spark.text.segments import (
+        duplicate_segment_filter_sql,
+        repetition_signals_sql,
+    )
+    from featurewiz_spark.text.urls import url_features_sql
+
+    raw_url = (
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END,"
+        " 'WWW.', upper(source), '.Example.COM',"
+        " CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,"
+        " '/pages/', lang, '/', CAST(doc_id AS VARCHAR),"
+        " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/index.html' END,"
+        " '?utm_source=feed&b=', CAST(doc_id % 7 AS VARCHAR),"
+        " '&a=', CAST(doc_id % 5 AS VARCHAR),"
+        " '#frag-', CAST(doc_id % 4 AS VARCHAR))"
+    )
+    feats = url_features_sql("url")
+    url_cols = ",\n                   ".join(
+        f"{expr} AS {name}" for name, expr in feats.items()
+    )
+    return {
+        "q75_dup_segment_filter": duplicate_segment_filter_sql(
+            "documents", chunk_tokens=8, min_docs=2
+        ),
+        "q76_url_features": f"""
+            WITH u AS (SELECT doc_id, {raw_url} AS url FROM documents)
+            SELECT doc_id,
+                   {url_cols}
+            FROM u
+        """,
+        "q77_repetition_signals": repetition_signals_sql(
+            "documents", chunk_tokens=8, ngram_ns=(2, 3)
+        ),
     }
 
 

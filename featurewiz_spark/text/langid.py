@@ -21,6 +21,9 @@ q33/q62 stay in lockstep by construction.
 
 Scoring. For document text t:
   norm  = ' ' + collapse(lower(t), non-letters -> ' ') + ' '
+  gate  = 'zh' when the letters of norm are majority Han codepoints
+          (see HAN_RANGES — trigram profiles are the wrong unit for
+          CJK, script identifies it), evaluated before any scoring.
   tris  = [substring(norm, i, 3) for i in 1..len(norm)-2]
   score_L = sum over tris of logP_L(tri), with add-one smoothing over
             the union vocabulary V and an out-of-vocabulary fallback
@@ -47,14 +50,30 @@ from pyspark.sql import functions as F
 
 # Languages in profile-array order; 'en' wins exact ties (prio), then
 # greatest language code — keep in sync with _PRIO and the SQL emitter.
-LANGS = ("en", "de", "fr", "es")
+LANGS = ("en", "de", "fr", "es", "it", "pt")
 _PRIO = {"en": 1}
+
+# Han-script gate (zh): character trigrams are the wrong unit for
+# Chinese — the type inventory is thousands of characters, so a top-k
+# trigram profile of any seed corpus has ~zero overlap with held-out
+# text (measured recall 0), and the smaller trigram total skews the
+# shared OOV fallback, pulling mostly-OOV ALPHABETIC text toward zh.
+# Production systems shortcut CJK by script; we do the same with an
+# explicit BMP codepoint range evaluated IDENTICALLY in all three
+# engines (Java regex char class, RE2 char class, Python range check —
+# no engine-specific \p{Han} whose Unicode version could skew):
+# a document whose letters are majority-Han is 'zh' before any trigram
+# scoring. Mixed texts below the majority threshold fall through to
+# the trigram argmax where stray Han chars are OOV noise.
+HAN_RANGES = ((0x3400, 0x4DBF), (0x4E00, 0x9FFF))
+_HAN_CLASS = "[㐀-䶿一-鿿]"
 
 # Seeded training corpus — short general-register text written for this
 # repo (deterministic, no external data). The trigram statistics of
 # function words dominate, so ~150 words per language is enough to
-# separate these four languages decisively; held-out probe sentences
-# live in tools/langid_probe.py.
+# separate these languages decisively (zh separates on script alone;
+# it/pt/es are the hard triple — the probe reports their confusion);
+# held-out probe sentences live in tools/langid_probe.py.
 _SEED_TEXTS = {
     "en": """
     The weather was clear this morning and the streets were quiet.
@@ -120,6 +139,38 @@ _SEED_TEXTS = {
     Decidieron quedarse en casa porque las entradas eran demasiado caras.
     Un buen libro puede cambiar la forma en que ves el mundo que te rodea.
     """,
+    "it": """
+    Il tempo era sereno questa mattina e le strade erano tranquille.
+    Ha detto che il rapporto sarebbe stato pronto prima della fine della settimana.
+    Le persone che vivono vicino alla stazione si lamentano spesso del rumore.
+    Non è sempre facile sapere quale dovrebbe essere la risposta giusta.
+    Abbiamo camminato lungo il fiume parlando delle cose che avevamo visto.
+    L'azienda ha annunciato che aprirà un nuovo ufficio in città.
+    Ci sono molte ragioni per cui il progetto ha richiesto più tempo del previsto.
+    Ha chiesto se i risultati potessero essere spiegati in un modo più semplice.
+    I bambini giocavano in giardino mentre i loro genitori cucinavano.
+    La maggior parte delle volte i treni arrivano in orario e il viaggio è breve.
+    Se vuoi imparare una lingua dovresti leggere e ascoltare ogni giorno.
+    La vecchia casa all'angolo della strada è vuota da anni.
+    Hanno deciso di restare a casa perché i biglietti erano troppo cari.
+    Un buon libro può cambiare il modo in cui vedi il mondo intorno a te.
+    """,
+    "pt": """
+    O tempo estava limpo esta manhã e as ruas estavam tranquilas.
+    Ela disse que o relatório estaria pronto antes do fim da semana.
+    As pessoas que moram perto da estação reclamam muitas vezes do barulho.
+    Nem sempre é fácil saber qual deveria ser a resposta certa.
+    Caminhamos ao longo do rio e falamos sobre as coisas que tínhamos visto.
+    A empresa anunciou que vai abrir um novo escritório na cidade.
+    Há muitas razões pelas quais o projeto demorou mais do que o esperado.
+    Ele perguntou se os resultados podiam ser explicados de uma maneira mais simples.
+    As crianças brincavam no jardim enquanto os pais preparavam o jantar.
+    Na maioria das vezes os comboios chegam a horas e a viagem é curta.
+    Se queres aprender uma língua deves ler e ouvir todos os dias.
+    A casa velha na esquina da rua está vazia há anos.
+    Eles decidiram ficar em casa porque os bilhetes eram caros demais.
+    Um bom livro pode mudar a forma como vês o mundo à tua volta.
+    """,
 }
 
 
@@ -157,7 +208,7 @@ def profiles(k: int = 150) -> tuple[tuple, tuple]:
     the embedded corpus.
 
     Returns ``(vocab, fallbacks)`` where ``vocab`` is a sorted tuple of
-    ``(trigram, (logp_en, logp_de, logp_fr, logp_es))`` and
+    ``(trigram, (logp_L for L in LANGS))`` and
     ``fallbacks`` the per-language OOV log-probability, ordered as
     :data:`LANGS`."""
     import math
@@ -216,6 +267,7 @@ def _langid_kernel_fn():
     voc = {tri: lps for tri, lps in vocab}
     prio = [_PRIO.get(lang, 0) for lang in LANGS]
     nl = len(LANGS)
+    (h0a, h0b), (h1a, h1b) = HAN_RANGES
 
     def _batch(texts):
         out = []
@@ -225,6 +277,15 @@ def _langid_kernel_fn():
                 out.append("unknown")
                 continue
             norm = _norm_py(t)
+            letters = len(norm) - norm.count(" ")
+            han = 0
+            for ch in norm:
+                o = ord(ch)
+                if h0a <= o <= h0b or h1a <= o <= h1b:
+                    han += 1
+            if letters > 0 and 2 * han > letters:
+                out.append("zh")
+                continue
             n = len(norm) - 2
             scores = [0.0] * nl
             matched = 0
@@ -368,9 +429,17 @@ def add_language_id_ngram(
         ]
     )
     best = F.array_max(cands)
+    # Han-script gate (see HAN_RANGES): letters = non-space chars of the
+    # normalized string; majority-Han wins 'zh' before trigram scoring.
+    letters = F.length(F.regexp_replace(norm, " ", ""))
+    han = F.length(norm) - F.length(F.regexp_replace(norm, _HAN_CLASS, ""))
     return out.withColumn(
         out_col,
-        F.when(F.col(c_matched) > 0, best["lang"]).otherwise(F.lit("unknown")),
+        F.when((letters > 0) & (2 * han > letters), F.lit("zh")).otherwise(
+            F.when(F.col(c_matched) > 0, best["lang"]).otherwise(
+                F.lit("unknown")
+            )
+        ),
     ).drop(c_norm, c_hits, c_score, c_matched)
 
 
@@ -405,9 +474,12 @@ def langid_sql_ctes(src: str, id_col: str = "doc_id", text_col: str = "text") ->
     return f"""__lang_prof(tri, {cols}) AS (VALUES
                 {rows}),
             __lang_n AS (
-                SELECT {id_col},
-                       ' ' || trim(regexp_replace(lower({text_col}), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS norm
-                FROM {src}),
+                SELECT {id_col}, norm,
+                       length(replace(norm, ' ', '')) AS letters,
+                       length(norm) - length(regexp_replace(norm, '{_HAN_CLASS}', '', 'g')) AS han
+                FROM (SELECT {id_col},
+                             ' ' || trim(regexp_replace(lower({text_col}), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS norm
+                      FROM {src})),
             __lang_g AS (
                 SELECT {id_col},
                        unnest(list_transform(generate_series(1, greatest(length(norm)-2, 0)),
@@ -420,10 +492,20 @@ def langid_sql_ctes(src: str, id_col: str = "doc_id", text_col: str = "text") ->
                 GROUP BY g.{id_col}),
             __lang_ls AS (
                 {unions}),
-            __lang_best AS (
-                SELECT {id_col}, lang AS lang_pred
+            __lang_w AS (
+                SELECT {id_col}, lang
                 FROM (SELECT {id_col}, lang, matched,
                              row_number() OVER (PARTITION BY {id_col}
                                  ORDER BY score DESC, prio DESC, lang DESC) AS rn
                       FROM __lang_ls)
-                WHERE rn = 1 AND matched > 0)"""
+                WHERE rn = 1 AND matched > 0),
+            __lang_best AS (
+                -- Han-script majority gate first (same rule as the Spark
+                -- paths), then the trigram winner; docs matching neither
+                -- stay absent so consumers coalesce to 'unknown'
+                SELECT n.{id_col},
+                       CASE WHEN n.letters > 0 AND 2*n.han > n.letters
+                            THEN 'zh' ELSE w.lang END AS lang_pred
+                FROM __lang_n n LEFT JOIN __lang_w w USING ({id_col})
+                WHERE (n.letters > 0 AND 2*n.han > n.letters)
+                   OR w.lang IS NOT NULL)"""

@@ -319,11 +319,13 @@ def test_sessionize_availablenow_default_filters_sentinels(spark, tmp_path):
 # --- trigram language ID (replaces the stopword toy, same API) -----------
 
 def test_langid_ngram_held_out_and_unknown(spark):
-    """add_language_id now routes to the trigram-profile model. Pin:
-    (a) held-out sentences (disjoint from the training corpus) classify
-    correctly in all 4 languages, including short fragments where the
-    stopword voter had no signal; (b) out-of-alphabet / numeric / empty
-    text is 'unknown', not a fallback-ordering artifact."""
+    """add_language_id now routes to the trigram-profile model (with the
+    r4 Han-script gate for zh). Pin: (a) held-out sentences (disjoint
+    from the training corpus) classify correctly in all profile
+    languages, including short fragments where the stopword voter had no
+    signal; (b) majority-Han text is 'zh' via the script gate; (c)
+    out-of-profile-script / numeric / empty text is 'unknown', not a
+    fallback-ordering artifact."""
     from featurewiz_spark.text.stats import add_language_id
 
     cases = [
@@ -335,9 +337,16 @@ def test_langid_ngram_held_out_and_unknown(spark):
         (5, "de", "ein ruhiger Ort zum Lesen"),
         (6, "fr", "un endroit calme pour lire"),
         (7, "es", "un lugar tranquilo para leer"),
-        (8, "unknown", "你好 世界 这是 中文 文本"),
+        (8, "zh", "你好 世界 这是 中文 文本"),
         (9, "unknown", "42 17 99 -- !!"),
         (10, "unknown", ""),
+        (11, "it", "Nessuno sapeva esattamente quando il ponte fosse stato costruito."),
+        (12, "pt", "Ninguém sabia exatamente quando a ponte tinha sido construída."),
+        (13, "it", "un posto tranquillo per leggere"),
+        (14, "zh", "博物馆周末开得很早，学生可以免费入场。"),
+        (15, "unknown", "привет мир это русский текст"),
+        # mixed text BELOW the Han majority falls through to trigrams
+        (16, "en", "the quick brown fox jumped over the lazy dog 狐"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, _, t in cases], "doc_id long, text string"

@@ -75,10 +75,47 @@ FIXTURE = {
         "aprender cosas nuevas lleva tiempo",
         "un lugar tranquilo para leer",
     ],
+    "zh": [
+        "博物馆周末开得很早，学生可以免费入场。",
+        "没有人确切知道这座桥是什么时候建的，也不知道是谁建的。",
+        "她一边慢慢倒咖啡，一边看昨天的报纸。",
+        "委员会将在下个月初公布调查结果。",
+        "日落前一阵冷风从山上吹了下来。",
+        "他用两颗螺丝和一点胶水修好了坏掉的架子。",
+        "他们的航班延误了，所以在机场附近过了一夜。",
+        "每年春天花园里开满了郁金香和白色的水仙花。",
+        "学习新东西需要时间",
+        "一个安静的读书地方",
+    ],
+    "it": [
+        "Il museo apre presto nel fine settimana e l'ingresso è gratuito per gli studenti.",
+        "Nessuno sapeva esattamente quando il ponte fosse stato costruito né da chi.",
+        "Versava il caffè lentamente mentre leggeva il giornale di ieri.",
+        "Il comitato pubblicherà le sue conclusioni all'inizio del mese prossimo.",
+        "Un vento freddo scendeva dalle colline poco prima del tramonto.",
+        "Ha riparato lo scaffale rotto con due viti e un po' di colla.",
+        "Il loro volo era in ritardo, così hanno passato la notte vicino all'aeroporto.",
+        "Ogni primavera il giardino si riempie di tulipani e narcisi bianchi.",
+        "imparare cose nuove richiede tempo",
+        "un posto tranquillo per leggere",
+    ],
+    "pt": [
+        "O museu abre cedo aos fins de semana e a entrada é gratuita para estudantes.",
+        "Ninguém sabia exatamente quando a ponte tinha sido construída nem por quem.",
+        "Ela servia o café devagar enquanto lia o jornal de ontem.",
+        "O comité vai publicar as suas conclusões no início do próximo mês.",
+        "Um vento frio descia das colinas pouco antes do pôr do sol.",
+        "Ele arranjou a prateleira partida com dois parafusos e um pouco de cola.",
+        "O voo deles atrasou, por isso passaram a noite perto do aeroporto.",
+        "Cada primavera o jardim enche-se de tulipas e narcisos brancos.",
+        "aprender coisas novas leva tempo",
+        "um lugar sossegado para ler",
+    ],
 }
 # Out-of-alphabet control: must come back 'unknown' from the trigram
-# model (no vocabulary trigram fires).
-UNKNOWN_TEXTS = ["你好 世界 这是 中文 文本", "42 17 99 -- !!", ""]
+# model (no vocabulary trigram fires). Cyrillic/Greek scripts are in no
+# profile (zh IS a profile language since round 4's widening).
+UNKNOWN_TEXTS = ["привет мир это русский текст", "καλημέρα κόσμε", "42 17 99 -- !!", ""]
 
 
 def run(spark):
@@ -112,7 +149,7 @@ def run(spark):
         table.append((lang, n, h_ng, h_sw))
     h_ng, n = acc(ng, set(FIXTURE))
     h_sw, _ = acc(sw, set(FIXTURE))
-    table.append(("ALL (4 langs)", n, h_ng, h_sw))
+    table.append((f"ALL ({len(FIXTURE)} langs)", n, h_ng, h_sw))
     misses = [(d, truth[d], ng[d]) for d in truth if ng[d] != truth[d]]
     return table, misses
 
