@@ -1202,6 +1202,32 @@ def _q77_repetition_signals(spark, sf):
     )
 
 
+def _q78_stream_asof_enrich(spark, sf):
+    """Streaming point-in-time as-of enrichment (applyInPandasWithState,
+    O(1) state per key) under the STRICT batch oracle — a real two-phase
+    readStream run split at the event-time midpoint, so per-key state
+    crosses a micro-batch boundary. The enriched value is a parquet
+    double carried through unmodified, so the batch SQL
+    last_value(IGNORE NULLS) window matches bit-for-bit. Upgrades
+    stream_asof_enrich from pytest-only to oracle-green; relies on
+    (user_id, ts) uniqueness in the testdata (verified both SFs)."""
+    import os
+
+    from featurewiz_spark.streaming.stream_features import (
+        run_asof_enrich_availablenow,
+    )
+
+    out = run_asof_enrich_availablenow(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        f"/tmp/fw_q78_{os.path.basename(os.path.normpath(sf))}",
+        key="user_id",
+        ts="ts",
+        value="value",
+    )
+    return out.select("event_id", "user_id", "ts", "value_asof")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1279,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_stream_windowed_agg": _q73_stream_windowed_agg,
         "q74_stream_exact_dedup": _q74_stream_exact_dedup,
         "q75_dup_segment_filter": _q75_dup_segment_filter,
+        "q78_stream_asof_enrich": _q78_stream_asof_enrich,
         "q76_url_features": _q76_url_features,
         "q77_repetition_signals": _q77_repetition_signals,
     }
@@ -2386,6 +2413,18 @@ def _generated_oracles() -> dict[str, str]:
         f"{expr} AS {name}" for name, expr in feats.items()
     )
     return {
+        # the streaming stateful enrich carries parquet doubles through
+        # untouched (no arithmetic), so no rounding is needed for the
+        # strict compare; ROWS ... 1 PRECEDING + IGNORE NULLS is exactly
+        # the ffill().shift(1) the pandas state kernel computes
+        "q78_stream_asof_enrich": """
+            SELECT event_id, user_id, ts,
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS value_asof
+            FROM events
+        """,
         "q75_dup_segment_filter": duplicate_segment_filter_sql(
             "documents", chunk_tokens=8, min_docs=2
         ),

@@ -421,6 +421,77 @@ def stream_asof_enrich(
     )
 
 
+def run_asof_enrich_availablenow(
+    spark,
+    source_parquet: str,
+    work_dir: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Drive `stream_asof_enrich` through a REAL Structured Streaming
+    execution (readStream → applyInPandasWithState → append parquet
+    sink) over a static parquet table, in TWO availableNow phases split
+    at the event-time midpoint — so per-key state genuinely carries the
+    last snapshot across a batch boundary — and return the sink as a
+    batch DataFrame. Equal to the batch point-in-time backward lookup
+    (last strictly-earlier non-null value per key), which makes the
+    stateful streaming path oracle-checkable: the enriched values are
+    parquet doubles carried through unmodified (no arithmetic), so the
+    batch SQL `last_value(value IGNORE NULLS) ... ROWS UNBOUNDED
+    PRECEDING TO 1 PRECEDING` matches bit-for-bit.
+
+    The time-split phases respect the operator's documented assumption
+    (per-key event-time ordering ACROSS batches): every phase-1 event
+    precedes every phase-2 event. No watermark and no sentinels — the
+    stateful map emits in the same micro-batch it consumes, nothing
+    waits on watermark advancement.
+
+    Determinism contract: rows sharing an exact (key, ts) are enriched
+    in arrival order (order-dependent); run on data where (key, ts) is
+    unique — true of the driver testdata — or pre-dedup ties first.
+    """
+    import os
+    import shutil
+
+    batch = spark.read.parquet(source_parquet)
+    schema = batch.schema
+    out_col = f"{value}_asof"
+    if batch.limit(1).count() == 0:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        return spark.createDataFrame(
+            [], T.StructType(list(schema.fields)
+                             + [T.StructField(out_col, T.DoubleType())])
+        )
+    shutil.rmtree(work_dir, ignore_errors=True)
+    in_dir = os.path.join(work_dir, "in")
+    out_dir = os.path.join(work_dir, "out")
+    ck_dir = os.path.join(work_dir, "ck")
+    lo, hi = batch.agg(F.min(ts), F.max(ts)).first()
+    # literal cast to the COLUMN's type: events parquet is TIMESTAMP_NTZ
+    # and an LTZ literal comparison would need an implicit cast
+    mid = F.lit(lo + (hi - lo) / 2).cast(schema[ts].dataType)
+
+    def phase():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_asof_enrich(stream, key, ts, value, out_col)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch.filter(F.col(ts) <= mid).write.mode("overwrite").parquet(in_dir)
+    phase()
+    batch.filter(F.col(ts) > mid).write.mode("append").parquet(in_dir)
+    phase()
+    return spark.read.parquet(out_dir)
+
+
 def run_exact_dedup_availablenow(
     spark,
     source_parquet: str,

@@ -312,6 +312,43 @@ def test_stream_asof_enrich_state_across_batches(spark, tmp_path):
     assert got[(3, "2024-01-01 10:30:00")] is None       # unseen key
 
 
+def test_run_asof_enrich_availablenow_matches_batch(spark, tmp_path):
+    """The q78 runner: a real two-phase readStream execution of
+    stream_asof_enrich must equal the batch point-in-time backward
+    lookup, and the midpoint split must be non-degenerate (both phases
+    carry rows) so per-key state genuinely crosses a batch boundary."""
+    from pyspark.sql import Window
+
+    from featurewiz_spark.streaming.stream_features import (
+        run_asof_enrich_availablenow,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = run_asof_enrich_availablenow(
+        spark, src, str(tmp_path / "wk"), key="user_id", ts="ts", value="value"
+    )
+    events = spark.read.parquet(src)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    n_lo = events.filter(F.col("ts") <= F.lit(mid).cast("timestamp_ntz")).count()
+    assert 0 < n_lo < events.count(), "midpoint split is degenerate"
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = events.select(
+        "event_id",
+        F.last("value", ignorenulls=True).over(w).alias("value_asof"),
+    )
+    got = {r["event_id"]: r["value_asof"]
+           for r in out.select("event_id", "value_asof").collect()}
+    exp = {r["event_id"]: r["value_asof"] for r in expected.collect()}
+    assert got == exp
+    assert sum(v is None for v in got.values()) < len(got)
+
+
 def test_stream_exact_dedup_across_batches(spark, tmp_path):
     """Streaming dedup keyed on content hash: a duplicate arriving in a
     LATER micro-batch (within the watermark horizon) must be dropped;
