@@ -1228,6 +1228,101 @@ def _q78_stream_asof_enrich(spark, sf):
     return out.select("event_id", "user_id", "ts", "value_asof")
 
 
+def _pii_injected_text(did):
+    """Deterministic PII injection shared by q79's Spark side; the
+    oracle builds the identical string in SQL (the documents table
+    carries no real PII, so the fixture plants one email + one IPv4
+    per doc and a phone number on every third doc)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail-"), F.col("source"), F.lit(".example.org"),
+        F.lit(" from 10."), (did % 200).cast("string"),
+        F.lit("."), ((did * 7) % 250).cast("string"),
+        F.lit("."), ((did * 13) % 100).cast("string"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call +1 (415) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _q79_pii_mask(spark, sf):
+    """PII masking (email -> ipv4 -> phone, staged counts) — pure JVM
+    regexp_replace/regexp_count, RE2-compatible patterns so the DuckDB
+    oracle runs the IDENTICAL pattern text (text/pii.py)."""
+    from featurewiz_spark.text.pii import mask_pii
+
+    docs = _tp(spark, sf, "documents")
+    injected = docs.withColumn("text", _pii_injected_text(F.col("doc_id")))
+    return mask_pii(injected).select(
+        "doc_id", "text_masked", "pii_email_n", "pii_ip_n", "pii_phone_n"
+    )
+
+
+def _q80_decontaminate(spark, sf):
+    """Benchmark decontamination: docs sharing any 8-token shingle with
+    the planted 'benchmark' subset (doc_id % 37 == 0) are flagged. The
+    benchmark gram set is md5-60-hashed and BROADCAST — the corpus is
+    never shuffled; oracle SQL generated from the same definitions
+    (text/decontam.py)."""
+    from featurewiz_spark.text.decontam import decontaminate
+
+    docs = _tp(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate(docs, bench, n=8).select(
+        "doc_id", "is_contaminated", "n_contaminated_grams"
+    )
+
+
+def _q81_interval_join(spark, sf):
+    """Point-in-interval (range) join via time-bucket blow-up: an
+    EQUALITY join on (shard, bucket) + containment post-filter instead
+    of the key-only sort-merge with a residual range predicate that
+    Catalyst picks for a naive conditional join
+    (operators/intervals.py). Intervals are 12h windows anchored at
+    every 7th event; points are all events; key = user_id % 25."""
+    from featurewiz_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf, "events").withColumn(
+        "shard", F.col("user_id") % 25
+    )
+    iv = ev.where(F.col("event_id") % 7 == 0).select(
+        "shard",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("iv_start"),
+        F.expr("ts + INTERVAL 12 HOURS").alias("iv_end"),
+    )
+    pts = ev.select("event_id", "user_id", "shard", "ts")
+    out = interval_join(
+        pts,
+        iv,
+        point_ts="ts",
+        start_col="iv_start",
+        end_col="iv_end",
+        keys=["shard"],
+        bucket="6 hours",
+    )
+    return out.select("event_id", "interval_id", "shard", "ts")
+
+
+def _q82_lm_perplexity(spark, sf):
+    """CCNet-style LM quality score: add-k smoothed bigram model
+    trained on the corpus (two hash aggregates), scored as bits per
+    token via explode -> hashed left joins -> mean log2 P (text/lm.py).
+    Self-scoring fixture: the corpus is its own reference model."""
+    from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+    docs = _tp(spark, sf, "documents")
+    uni, big = train_bigram_lm(docs)
+    return add_lm_score(docs, uni, big).select(
+        "doc_id", "lm_bits_per_token"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1308,6 +1403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_stream_asof_enrich": _q78_stream_asof_enrich,
         "q76_url_features": _q76_url_features,
         "q77_repetition_signals": _q77_repetition_signals,
+        "q79_pii_mask": _q79_pii_mask,
+        "q80_decontaminate": _q80_decontaminate,
+        "q81_interval_join": _q81_interval_join,
+        "q82_lm_perplexity": _q82_lm_perplexity,
     }
 
 
@@ -2397,6 +2496,26 @@ def _generated_oracles() -> dict[str, str]:
     )
     from featurewiz_spark.text.urls import url_features_sql
 
+    from featurewiz_spark.text.decontam import decontaminate_sql
+    from featurewiz_spark.text.lm import lm_score_sql
+    from featurewiz_spark.text.pii import mask_pii_sql
+
+    _pii_injected_sql = (
+        "concat(text,"
+        " ' contact user', CAST(doc_id AS VARCHAR),"
+        " '@mail-', source, '.example.org',"
+        " ' from 10.', CAST(doc_id % 200 AS VARCHAR),"
+        " '.', CAST((doc_id * 7) % 250 AS VARCHAR),"
+        " '.', CAST((doc_id * 13) % 100 AS VARCHAR),"
+        " CASE WHEN doc_id % 3 = 0"
+        " THEN concat(' call +1 (415) 555-',"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+        " ELSE '' END)"
+    )
+    _pii_cols = ",\n                   ".join(
+        f"{expr} AS {name}" for name, expr in mask_pii_sql("text").items()
+    )
+
     raw_url = (
         "concat("
         "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END,"
@@ -2437,6 +2556,32 @@ def _generated_oracles() -> dict[str, str]:
         "q77_repetition_signals": repetition_signals_sql(
             "documents", chunk_tokens=8, ngram_ns=(2, 3)
         ),
+        # q79: expressions generated from the same PII_RULES table the
+        # Spark side compiles (text/pii.py) — patterns are identical
+        # byte strings in both engines (RE2-compatible, no lookaround)
+        "q79_pii_mask": f"""
+            WITH p AS (SELECT doc_id, {_pii_injected_sql} AS text
+                       FROM documents)
+            SELECT doc_id,
+                   {_pii_cols}
+            FROM p
+        """,
+        "q80_decontaminate": decontaminate_sql(
+            "documents",
+            "(SELECT text FROM documents WHERE doc_id % 37 = 0) __bench",
+            n=8,
+        ),
+        "q82_lm_perplexity": lm_score_sql("documents"),
+        "q81_interval_join": """
+            WITH iv AS (
+                SELECT user_id % 25 AS shard, event_id AS interval_id,
+                       ts AS s, ts + INTERVAL 12 HOUR AS e
+                FROM events WHERE event_id % 7 = 0)
+            SELECT p.event_id, iv.interval_id, p.user_id % 25 AS shard, p.ts
+            FROM events p
+            JOIN iv ON p.user_id % 25 = iv.shard
+                   AND iv.s <= p.ts AND p.ts < iv.e
+        """,
     }
 
 

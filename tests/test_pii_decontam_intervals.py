@@ -1,0 +1,410 @@
+"""Edge-case tests for PII masking (text/pii.py), benchmark
+decontamination (text/decontam.py) and the bucketed interval join
+(operators/intervals.py). Corpus-level behavior is oracle-gated
+(q79/q80/q81); these pin the boundaries the testdata never hits:
+cross-engine regex agreement on adversarial strings, NULL/short texts,
+drop mode, interval edges (end-exclusive, bucket boundary, empty and
+inverted intervals), the left join, and self-join lineage.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from featurewiz_spark.operators.intervals import interval_join, parse_bucket
+from featurewiz_spark.text.decontam import decontaminate, decontaminate_sql
+from featurewiz_spark.text.pii import PII_RULES, mask_pii, mask_pii_sql
+
+# Adversarial strings: greedy-quantifier overlap (phone vs IP), word
+# boundaries, dotted chains, malformed emails, unicode filler.
+PII_CASES = [
+    "mail me at a.b+c%d@sub.Example.co.uk or x@y.io.",
+    "server 10.0.255.1, bad 999.999.999.9999, v6 ::1",
+    "call +1 (415) 555-0137 or 415-555-0137 x99",
+    "order 1234567890123 total 12.50",
+    "a@b a@@b.com @no.com trailing@dot. end",
+    "ip.1.2.3.4.5 chained 1.2.3.4.5.6",
+    "+49 89 123456 and (020) 7946 0958",
+    "no pii here at all",
+    "",
+    "ué@ex.fr puis 192.168.1.1 et +33 1 44 55 66 77 voilà",
+    "x@a.bc 1.2.3.4x 12.34",
+]
+
+
+class TestMaskPii:
+    def test_cross_engine_agreement(self, spark, duck):
+        """The whole point of RE2-compatible patterns: Spark (Java
+        regex) and DuckDB (RE2) must produce byte-identical masked text
+        and identical staged counts on adversarial input."""
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(PII_CASES)], "i int, text string"
+        )
+        got = {
+            r["i"]: r
+            for r in mask_pii(df).orderBy("i").collect()
+        }
+        cols = mask_pii_sql("text")
+        sel = ", ".join(f"{e} AS {n}" for n, e in cols.items())
+        duck.execute("CREATE TABLE t(i INT, text VARCHAR)")
+        duck.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(PII_CASES))
+        )
+        for row in duck.execute(f"SELECT i, {sel} FROM t").fetchall():
+            i, *vals = row
+            names = list(cols)
+            for name, val in zip(names, vals):
+                assert got[i][name] == val, (i, name, PII_CASES[i])
+
+    def test_null_text(self, spark):
+        df = spark.createDataFrame([(1, None)], "i int, text string")
+        r = mask_pii(df).collect()[0]
+        assert r["text_masked"] is None
+        assert (
+            r["pii_email_n"] == r["pii_ip_n"] == r["pii_phone_n"] == 0
+        )
+
+    def test_staged_counts_no_double_mask(self, spark):
+        # The IP inside the email is masked AS the email; the 4-digit
+        # tail of the masked phone can't re-match.
+        s = "bad 1.2.3.4@host.com then 5.6.7.8 call 555-123-4567"
+        r = mask_pii(
+            spark.createDataFrame([(s,)], "text string")
+        ).collect()[0]
+        assert r["pii_email_n"] == 1
+        assert r["pii_ip_n"] == 1
+        assert r["pii_phone_n"] == 1
+        assert r["text_masked"] == "bad <EMAIL> then <IP> call <PHONE>"
+
+    def test_rules_have_no_quotes(self):
+        for _, pattern, token in PII_RULES:
+            assert "'" not in pattern and "'" not in token
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestDecontaminate:
+    def test_flag_and_counts(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated words that share no shingle at all"),
+                (3, "short doc"),
+            ],
+        )
+        bench = spark.createDataFrame(
+            [("prefix the quick brown fox jumps over the lazy dog suffix",)],
+            "text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate(docs, bench, n=8).collect()
+        }
+        # doc 1 has three 8-gram windows; the first two ("the ... lazy",
+        # "quick ... dog") appear in the bench text, the third ends in
+        # "today" which the bench lacks -> 2 distinct contaminated grams
+        assert out[1]["is_contaminated"] == 1
+        assert out[1]["n_contaminated_grams"] == 2
+        assert out[2]["is_contaminated"] == 0
+        assert out[2]["n_contaminated_grams"] == 0
+        # shorter than n tokens -> never contaminated
+        assert out[3]["is_contaminated"] == 0
+
+    def test_drop_mode(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "one two three four five six seven eight"),
+                (2, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            ],
+        )
+        bench = spark.createDataFrame(
+            [("one two three four five six seven eight",)], "text string"
+        )
+        kept = decontaminate(docs, bench, n=8, mode="drop").collect()
+        assert [r["doc_id"] for r in kept] == [2]
+        # drop mode returns the input schema unchanged
+        assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+    def test_case_and_whitespace_normalized(self, spark):
+        docs = _docs(spark, [(1, "A  B\tC d E f G h tail")])
+        bench = spark.createDataFrame(
+            [("a b c D e F g H",)], "text string"
+        )
+        out = decontaminate(docs, bench, n=8).collect()[0]
+        assert out["is_contaminated"] == 1
+
+    def test_sql_mirror_matches(self, spark, duck):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "alpha beta gamma delta different words here now ok"),
+            (3, None),
+            (4, ""),
+        ]
+        docs = _docs(spark, rows)
+        bench = docs.where(F.col("doc_id") == 1).select("text")
+        got = sorted(
+            tuple(r)
+            for r in decontaminate(docs, bench, n=4)
+            .select("doc_id", "is_contaminated", "n_contaminated_grams")
+            .collect()
+        )
+        duck.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(
+                decontaminate_sql(
+                    "documents",
+                    "(SELECT text FROM documents WHERE doc_id = 1) b",
+                    n=4,
+                )
+            ).fetchall()
+        )
+        assert got == want
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestIntervalJoin:
+    def _frames(self, spark):
+        pts = spark.createDataFrame(
+            [
+                (1, 10, _ts("2024-01-01 00:00:00")),  # == start
+                (2, 10, _ts("2024-01-01 05:59:59")),  # just inside
+                (3, 10, _ts("2024-01-01 06:00:00")),  # == end
+                (4, 10, _ts("2024-01-02 00:00:00")),  # far outside
+                (5, 20, _ts("2024-01-01 01:00:00")),  # wrong key
+            ],
+            "pid int, k int, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(100, 10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 06:00:00"))],
+            "iid int, k int, s timestamp, e timestamp",
+        )
+        return pts, iv
+
+    def test_end_exclusive_left_closed(self, spark):
+        pts, iv = self._frames(spark)
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour", closed="left",
+        )
+        assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+    def test_both_closed_includes_end(self, spark):
+        pts, iv = self._frames(spark)
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour", closed="both",
+        )
+        assert sorted(r["pid"] for r in out.collect()) == [1, 2, 3]
+
+    def test_left_join_pads_unmatched(self, spark):
+        pts, iv = self._frames(spark)
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour", how="left",
+        ).collect()
+        by_pid = {}
+        for r in out:
+            by_pid.setdefault(r["pid"], []).append(r)
+        assert len(out) == 5  # every point exactly once here
+        assert by_pid[1][0]["iid"] == 100
+        assert by_pid[4][0]["iid"] is None
+        assert by_pid[5][0]["iid"] is None
+
+    def test_overlapping_intervals_multiplicity(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 10, _ts("2024-01-01 02:00:00"))], "pid int, k int, ts timestamp"
+        )
+        iv = spark.createDataFrame(
+            [
+                (100, 10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 03:00:00")),
+                (101, 10, _ts("2024-01-01 01:30:00"), _ts("2024-01-01 02:30:00")),
+                (102, 10, _ts("2024-01-01 02:00:01"), _ts("2024-01-01 04:00:00")),
+            ],
+            "iid int, k int, s timestamp, e timestamp",
+        )
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour",
+        )
+        assert sorted(r["iid"] for r in out.collect()) == [100, 101]
+
+    def test_empty_and_inverted_intervals_dropped(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 10, _ts("2024-01-01 02:00:00"))], "pid int, k int, ts timestamp"
+        )
+        iv = spark.createDataFrame(
+            [
+                (100, 10, _ts("2024-01-01 02:00:00"), _ts("2024-01-01 02:00:00")),
+                (101, 10, _ts("2024-01-01 03:00:00"), _ts("2024-01-01 01:00:00")),
+            ],
+            "iid int, k int, s timestamp, e timestamp",
+        )
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour",
+        )
+        assert out.count() == 0
+        # under closed='both' the zero-length interval IS a match
+        out2 = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour", closed="both",
+        )
+        assert [r["iid"] for r in out2.collect()] == [100]
+
+    def test_no_keys_pure_range(self, spark):
+        pts = spark.createDataFrame(
+            [(1, _ts("2024-01-01 02:00:00")), (2, _ts("2024-01-05 00:00:00"))],
+            "pid int, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(100, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+            "iid int, s timestamp, e timestamp",
+        )
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e", bucket="6 hours"
+        )
+        assert [r["pid"] for r in out.collect()] == [1]
+
+    def test_self_join_lineage(self, spark):
+        # intervals derived FROM the points frame — the aliasing must
+        # keep references unambiguous (q81 does exactly this)
+        base = spark.createDataFrame(
+            [
+                (1, 10, _ts("2024-01-01 00:00:00")),
+                (2, 10, _ts("2024-01-01 01:00:00")),
+                (3, 10, _ts("2024-01-01 09:00:00")),
+            ],
+            "eid int, k int, ts timestamp",
+        )
+        iv = base.where(F.col("eid") == 1).select(
+            "k",
+            F.col("eid").alias("iid"),
+            F.col("ts").alias("s"),
+            F.expr("ts + INTERVAL 2 HOURS").alias("e"),
+        )
+        out = interval_join(
+            base, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="1 hour",
+        )
+        assert sorted(r["eid"] for r in out.collect()) == [1, 2]
+
+    def test_column_clash_raises(self, spark):
+        pts, iv = self._frames(spark)
+        import pytest
+
+        with pytest.raises(ValueError, match="clash"):
+            interval_join(
+                pts, iv.withColumnRenamed("iid", "pid"),
+                point_ts="ts", start_col="s", end_col="e",
+                keys=["k"], bucket="1 hour",
+            )
+
+    def test_parse_bucket(self):
+        import pytest
+
+        assert parse_bucket("90 minutes") == 90 * 60_000_000
+        assert parse_bucket("1 day") == 86_400_000_000
+        assert parse_bucket(42) == 42
+        with pytest.raises(ValueError):
+            parse_bucket("fortnight")
+        with pytest.raises(ValueError):
+            parse_bucket(0)
+
+    def test_bucket_spanning_interval(self, spark):
+        # interval spans many buckets; points land in interior buckets
+        pts = spark.createDataFrame(
+            [(i, 1, _ts(f"2024-01-0{d} 12:00:00")) for i, d in enumerate((1, 3, 9), 1)],
+            "pid int, k int, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(100, 1, _ts("2024-01-01 00:00:00"), _ts("2024-01-05 00:00:00"))],
+            "iid int, k int, s timestamp, e timestamp",
+        )
+        out = interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            keys=["k"], bucket="6 hours",
+        )
+        assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+class TestLmScore:
+    def test_known_answer_single_bigram(self, spark):
+        # train on one doc "a b": c(a b)=1, c(a)=1, c(b)=1, V=3.
+        # score of "a b": -log2((1+0.5)/(1+0.5*3)) = -log2(0.6)
+        import math
+
+        from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        uni, big = train_bigram_lm(docs)
+        r = add_lm_score(docs, uni, big, k=0.5).collect()[0]
+        assert r["lm_bits_per_token"] == round(-math.log2(1.5 / 2.5), 6)
+
+    def test_fluent_scores_lower_than_gibberish(self, spark):
+        from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+        rows = [(i, "the cat sat on the mat " * 3) for i in range(5)] + [
+            (99, "zx qv wk jp bn md hg fs")
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        uni, big = train_bigram_lm(docs)
+        out = {
+            r["doc_id"]: r["lm_bits_per_token"]
+            for r in add_lm_score(docs, uni, big).collect()
+        }
+        assert out[0] < out[99]
+
+    def test_short_and_null_docs_null(self, spark):
+        from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+        docs = spark.createDataFrame(
+            [(1, "hello world again"), (2, "single"), (3, None), (4, "")],
+            "doc_id int, text string",
+        )
+        uni, big = train_bigram_lm(docs)
+        out = {
+            r["doc_id"]: r["lm_bits_per_token"]
+            for r in add_lm_score(docs, uni, big).collect()
+        }
+        assert out[1] is not None
+        assert out[2] is None and out[3] is None and out[4] is None
+
+    def test_sql_mirror_matches(self, spark, duck):
+        from featurewiz_spark.text.lm import (
+            add_lm_score,
+            lm_score_sql,
+            train_bigram_lm,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown cat naps under the warm sun"),
+            (3, "Mixed CASE   and\t whitespace  here the quick"),
+            (4, None),
+            (5, "one"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        uni, big = train_bigram_lm(docs)
+        got = sorted(
+            tuple(r)
+            for r in add_lm_score(docs, uni, big)
+            .select("doc_id", "lm_bits_per_token")
+            .collect()
+        )
+        duck.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r) for r in duck.execute(lm_score_sql("documents")).fetchall()
+        )
+        assert got == want
