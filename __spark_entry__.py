@@ -1323,6 +1323,18 @@ def _q82_lm_perplexity(spark, sf):
     )
 
 
+def _q83_tfidf_keywords(spark, sf):
+    """Top-5 TF-IDF keywords per document (smoothed idf, rounded
+    BEFORE ranking with a token tie-break so the top-k set is
+    engine-independent; text/tfidf.py). The ranking window partitions
+    by document — partition size is doc-vocabulary-bounded, never a
+    hot key."""
+    from featurewiz_spark.text.tfidf import tfidf_keywords
+
+    docs = _tp(spark, sf, "documents")
+    return tfidf_keywords(docs, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1407,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_decontaminate": _q80_decontaminate,
         "q81_interval_join": _q81_interval_join,
         "q82_lm_perplexity": _q82_lm_perplexity,
+        "q83_tfidf_keywords": _q83_tfidf_keywords,
     }
 
 
@@ -2499,6 +2512,7 @@ def _generated_oracles() -> dict[str, str]:
     from featurewiz_spark.text.decontam import decontaminate_sql
     from featurewiz_spark.text.lm import lm_score_sql
     from featurewiz_spark.text.pii import mask_pii_sql
+    from featurewiz_spark.text.tfidf import tfidf_keywords_sql
 
     _pii_injected_sql = (
         "concat(text,"
@@ -2572,6 +2586,7 @@ def _generated_oracles() -> dict[str, str]:
             n=8,
         ),
         "q82_lm_perplexity": lm_score_sql("documents"),
+        "q83_tfidf_keywords": tfidf_keywords_sql("documents", k=5),
         "q81_interval_join": """
             WITH iv AS (
                 SELECT user_id % 25 AS shard, event_id AS interval_id,

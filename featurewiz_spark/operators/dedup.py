@@ -13,7 +13,7 @@ pages). The pairwise verify join is restricted to within-bucket pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurewiz_spark.cache import scoped_persist
@@ -164,12 +164,21 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
     del n
-    bucket_w = Window.partitionBy("band", "band_hash")
-    banded = (
-        banded.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
+    # Bucket-size guard via hash aggregate + co-partitioned semi-join,
+    # NOT count().over(partitionBy(band, band_hash)): a window would
+    # buffer the whole hot bucket in ONE WindowExec task before the
+    # filter could drop it — the exact boilerplate blowup the cap
+    # exists to prevent. The aggregate collapses hot buckets map-side
+    # (partial counts), and the join back reuses the same (band,
+    # band_hash) hash partitioning, so no extra exchange appears; the
+    # join streams rather than buffering per-key.
+    keep = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
+        .select("band", "band_hash")
     )
+    banded = banded.join(keep, ["band", "band_hash"], "left_semi")
     left = banded.select(
         F.col(id_col).alias("a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
     )

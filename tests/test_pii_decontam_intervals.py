@@ -408,3 +408,83 @@ class TestLmScore:
             tuple(r) for r in duck.execute(lm_score_sql("documents")).fetchall()
         )
         assert got == want
+
+
+class TestTfidfKeywords:
+    def test_known_answer_and_tiebreak(self, spark):
+        import math
+
+        from featurewiz_spark.text.tfidf import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, ""),
+            ],
+            "doc_id int, text string",
+        )
+        out = tfidf_keywords(docs, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # N=3. doc1: apple tf=2 df=1 -> 2*(ln(4/2)+1); banana tf=1 df=2
+        apple = round(2 * (math.log(4 / 2) + 1), 6)
+        banana = round(1 * (math.log(4 / 3) + 1), 6)
+        d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+        assert [(r["keyword"], r["tfidf"]) for r in d1] == [
+            ("apple", apple), ("banana", banana)]
+        # doc2: banana and cherry -> cherry has higher idf (df 1 vs 2)
+        d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+        assert [r["keyword"] for r in d2] == ["cherry", "banana"]
+        # empty doc yields no rows
+        assert 3 not in by_doc
+
+    def test_equal_scores_tiebreak_on_token(self, spark):
+        from featurewiz_spark.text.tfidf import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "zeta alpha"), (2, "unrelated words")],
+            "doc_id int, text string",
+        )
+        d1 = sorted(
+            (r for r in tfidf_keywords(docs, k=2).collect()
+             if r["doc_id"] == 1),
+            key=lambda r: r["rank"],
+        )
+        # identical tf and df -> identical score -> token ascending
+        assert [r["keyword"] for r in d1] == ["alpha", "zeta"]
+
+    def test_min_df_excludes_rare(self, spark):
+        from featurewiz_spark.text.tfidf import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "shared rare1"), (2, "shared rare2")],
+            "doc_id int, text string",
+        )
+        out = tfidf_keywords(docs, k=5, min_df=2).collect()
+        assert {r["keyword"] for r in out} == {"shared"}
+
+    def test_sql_mirror_matches(self, spark, duck):
+        from featurewiz_spark.text.tfidf import (
+            tfidf_keywords,
+            tfidf_keywords_sql,
+        )
+
+        rows = [
+            (1, "the quick brown fox the quick"),
+            (2, "the slow green turtle walks"),
+            (3, "Mixed   CASE the\tQuick"),
+            (4, None),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        got = sorted(tuple(r) for r in tfidf_keywords(docs, k=3).collect())
+        duck.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(
+                tfidf_keywords_sql("documents", k=3)
+            ).fetchall()
+        )
+        assert got == want

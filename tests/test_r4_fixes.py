@@ -752,3 +752,46 @@ def test_audio_single_frame_wav_zcr_defined(spark):
     f = r["features"]
     assert not any(math.isnan(v) for v in f)
     assert f[5] == 0.0
+
+
+def test_lsh_bucket_cap_drops_hot_bucket_without_window(spark):
+    """The max_bucket_size guard must (a) drop buckets above the cap,
+    (b) keep buckets at/below it, and (c) run as a hash aggregate +
+    semi-join, NOT count().over(partitionBy(bucket)) — a window would
+    buffer the whole hot boilerplate bucket in one task before
+    filtering, the exact blowup the cap exists to prevent."""
+    from featurewiz_spark.cache import cache_scope
+    from featurewiz_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    # 30 identical boilerplate docs (one hot bucket per band) + 2
+    # identical rare docs (bucket size 2, far from the boilerplate text)
+    rows = [(i, "cookie banner accept terms privacy policy footer nav")
+            for i in range(30)]
+    rows += [(100, "completely different unique prose alpha beta gamma"),
+             (101, "completely different unique prose alpha beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    with cache_scope():
+        sigs = minhash_signatures(docs, num_hashes=16, partitions=4)
+        pairs = minhash_lsh_pairs(
+            sigs, bands=4, rows_per_band=4,
+            jaccard_threshold=0.0, max_bucket_size=10,
+        )
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        # the 30-doc boilerplate bucket (size 30 > 10) is dropped whole;
+        # the pair of rare dups (bucket size 2) survives
+        assert got == {(100, 101)}
+
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "WindowExec" not in plan and "Window" not in plan
+
+    with cache_scope():
+        sigs = minhash_signatures(docs, num_hashes=16, partitions=4)
+        all_pairs = minhash_lsh_pairs(
+            sigs, bands=4, rows_per_band=4,
+            jaccard_threshold=0.0, max_bucket_size=500,
+        )
+        # with the cap lifted, the boilerplate cluster pairs reappear
+        assert all_pairs.count() == 30 * 29 // 2 + 1
