@@ -149,11 +149,14 @@ __hits AS (
     FROM __doc_grams d JOIN __bench_grams USING (gram_h)
     GROUP BY {id_col})"""
     if mode == "drop":
+        # ANTI JOIN, not NOT IN: a NULL id makes NOT IN drop the row
+        # (NULL comparison) where Spark's left_anti keeps it — the two
+        # sides must share one semantics for null keys.
         return (
             body
             + f"""
 SELECT d.* FROM {docs_src} d
-WHERE d.{id_col} NOT IN (SELECT {id_col} FROM __hits)"""
+ANTI JOIN __hits h ON d.{id_col} = h.{id_col}"""
         )
     return (
         body

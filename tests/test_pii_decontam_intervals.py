@@ -488,3 +488,34 @@ class TestTfidfKeywords:
             ).fetchall()
         )
         assert got == want
+
+
+def test_decontam_drop_sql_keeps_null_ids(spark, duck):
+    """drop mode, null doc_id: Spark left_anti KEEPS a null-key row;
+    the SQL mirror must use ANTI JOIN (NOT IN would silently drop it)."""
+    rows = [
+        (1, "one two three four five six seven eight"),
+        (None, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [("one two three four five six seven eight",)], "text string"
+    )
+    got = sorted(
+        (r["doc_id"],)
+        for r in decontaminate(docs, bench, n=8, mode="drop").collect()
+    )
+    duck.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        (r[0],)
+        for r in duck.execute(
+            decontaminate_sql(
+                "documents",
+                "(SELECT text FROM documents WHERE doc_id = 1) b",
+                n=8,
+                mode="drop",
+            )
+        ).fetchall()
+    )
+    assert got == want == [(None,)]
