@@ -2514,7 +2514,11 @@ def _generated_oracles() -> dict[str, str]:
     from featurewiz_spark.text.pii import mask_pii_sql
     from featurewiz_spark.text.tfidf import tfidf_keywords_sql
 
+    # NULL-guard: Spark concat is NULL if ANY argument is NULL, DuckDB
+    # concat SKIPS NULLs — the CASE pins both engines to Spark semantics
     _pii_injected_sql = (
+        "CASE WHEN text IS NULL OR source IS NULL OR doc_id IS NULL"
+        " THEN NULL ELSE "
         "concat(text,"
         " ' contact user', CAST(doc_id AS VARCHAR),"
         " '@mail-', source, '.example.org',"
@@ -2525,6 +2529,7 @@ def _generated_oracles() -> dict[str, str]:
         " THEN concat(' call +1 (415) 555-',"
         " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
         " ELSE '' END)"
+        " END"
     )
     _pii_cols = ",\n                   ".join(
         f"{expr} AS {name}" for name, expr in mask_pii_sql("text").items()

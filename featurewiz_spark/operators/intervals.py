@@ -110,6 +110,10 @@ def interval_join(
         raise ValueError(
             f"interval columns {clash} clash with point columns — rename"
         )
+    # the internal bucket column would otherwise be silently overwritten
+    # by withColumn — the exact corruption the clash guard exists for
+    if "__ibucket" in points.columns or "__ibucket" in intervals.columns:
+        raise ValueError("'__ibucket' is reserved by interval_join — rename")
 
     su, eu, pu = _us(start_col), _us(end_col), _us(point_ts)
     valid = (eu > su) if closed == "left" else (eu >= su)

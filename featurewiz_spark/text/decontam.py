@@ -29,20 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NORM_WS = r"\s+"
-
-
-def _norm_tokens(text_col: str):
-    """Lowercase, collapse whitespace, split into tokens — the same
-    normalization the segment/repetition operators use."""
-    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
-    return t, F.split(t, " ")
+from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
 
 
 def _gram_hashes(text_col: str, n: int):
     """Array of md5-60 hashes of the n-token shingles of ``text_col``
     (empty array for texts shorter than ``n`` tokens)."""
-    t, toks = _norm_tokens(text_col)
+    t, toks = norm_tokens(text_col)
     idx = F.when(
         (F.length(t) > 0) & (F.size(toks) - n >= 0),
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -130,12 +123,13 @@ def decontaminate_sql(
     btc = bench_text_col or text_col
 
     def grams(src: str, col: str, ident: str) -> str:
+        t_sql, w_sql = norm_tokens_sql(col)
         return f"""
     SELECT {ident},
            ('0x' || substr(md5(array_to_string(list_slice(w, i, i+{n}-1), ' ')), 1, 15))::BIGINT AS gram_h
     FROM (SELECT {ident},
-                 string_split(lower(regexp_replace(trim({col}), '{_NORM_WS}', ' ', 'g')), ' ') AS w,
-                 lower(regexp_replace(trim({col}), '{_NORM_WS}', ' ', 'g')) AS t
+                 {w_sql} AS w,
+                 {t_sql} AS t
           FROM {src}) s,
          LATERAL unnest(generate_series(1, len(w)-{n}+1)) AS g(i)
     WHERE t <> '' AND len(w) >= {n}"""

@@ -43,15 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_NORM_WS = r"\s+"
+from featurewiz_spark.cache import scoped_persist
+from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
 
 
 def _tokens(text_col: str):
-    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
-    toks = F.when(F.length(t) > 0, F.split(t, " ")).otherwise(
-        F.array().cast("array<string>")
-    )
-    return toks
+    return norm_tokens(text_col)[1]
 
 
 def _h60(col):
@@ -107,7 +104,15 @@ def add_lm_score(
     """Append ``out_col`` = add-k bigram bits-per-token under the
     trained LM (see module docstring). ``vocab_size`` defaults to
     ``unigram_counts.count() + 1`` (a driver-side count of the SMALL
-    LM table, not the corpus). NULL for docs with < 2 tokens."""
+    LM table, not the corpus). NULL for docs with < 2 tokens.
+
+    Both LM tables are scoped_persist-ed: the default vocab_size count
+    materializes the unigram aggregate once and the scoring joins then
+    reuse both tables instead of re-tokenizing the reference corpus
+    per consumer. Callers release via cache.release_caches() /
+    cache_scope() after materializing (see featurewiz_spark.cache)."""
+    unigram_counts = scoped_persist(unigram_counts)
+    bigram_counts = scoped_persist(bigram_counts)
     if vocab_size is None:
         vocab_size = unigram_counts.count() + 1
     toks = _tokens(text_col)
@@ -162,10 +167,11 @@ def lm_score_sql(
     train_src = train_src or docs_src
 
     def toks_cte(src: str, name: str, ident: str) -> str:
+        t_sql, w_sql = norm_tokens_sql(text_col)
         return f"""{name} AS (
     SELECT {ident},
-           string_split(lower(regexp_replace(trim({text_col}), '{_NORM_WS}', ' ', 'g')), ' ') AS w,
-           lower(regexp_replace(trim({text_col}), '{_NORM_WS}', ' ', 'g')) AS t
+           {w_sql} AS w,
+           {t_sql} AS t
     FROM {src})"""
 
     h = "('0x' || substr(md5({x}), 1, 15))::BIGINT"

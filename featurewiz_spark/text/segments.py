@@ -34,13 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from featurewiz_spark.text._norm import norm_text, norm_text_sql
+
 
 def _chunk_segments(text_col: str, chunk_tokens: int):
     """(tokens-normalized-text, chunk array) expressions: collapse
     whitespace, trim, split on single spaces, group into fixed
     ``chunk_tokens``-token chunks (last chunk may be short). Empty text
     yields an empty chunk array."""
-    t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    t = norm_text(text_col, lower=False)
     toks = F.split(t, " ")
     n = F.size(toks)
     nchunks = F.floor((n + chunk_tokens - 1) / chunk_tokens).cast("int")
@@ -157,7 +159,7 @@ def duplicate_segment_filter_sql(
     return f"""
 WITH __dsf_base AS (
     SELECT {id_col},
-           regexp_replace(trim({text_col}), '\\s+', ' ', 'g') AS t
+           {norm_text_sql(text_col, lower=False)} AS t
     FROM {src}),
 __dsf_toks AS (
     SELECT {id_col}, string_split(t, ' ') AS w
@@ -214,7 +216,7 @@ def add_repetition_signals(
     — pivoted back by kind and joined to the input on ``id_col``. Every
     aggregate gets map-side partials; nothing is per-key sorted.
     """
-    t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    t = norm_text(text_col, lower=False)
     toks = F.split(F.lower(t), " ")
     n = F.size(toks)
 
@@ -344,7 +346,7 @@ def repetition_signals_sql(
     return f"""
 WITH __rep_base AS (
     SELECT {id_col},
-           lower(regexp_replace(trim({text_col}), '\\s+', ' ', 'g')) AS t
+           {norm_text_sql(text_col)} AS t
     FROM {src}),
 __rep_toks AS (
     SELECT {id_col}, string_split(t, ' ') AS w

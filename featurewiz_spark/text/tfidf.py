@@ -33,14 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_NORM_WS = r"\s+"
-
-
-def _tokens(text_col: str):
-    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _NORM_WS, " "))
-    return F.when(F.length(t) > 0, F.split(t, " ")).otherwise(
-        F.array().cast("array<string>")
-    )
+from featurewiz_spark.cache import scoped_persist
+from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
 
 
 def tfidf_keywords(
@@ -56,9 +50,17 @@ def tfidf_keywords(
 
     Returns (id_col, rank 1..k, keyword, tfidf) — documents with no
     tokens yield no rows; tokens in fewer than ``min_df`` documents are
-    excluded from ranking."""
-    tf = (
-        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("keyword"))
+    excluded from ranking.
+
+    The tf aggregate feeds BOTH the df derivation and the scoring join,
+    so it is scoped_persist-ed — without it the corpus-wide
+    tokenize+explode+aggregate (the expensive stage) runs twice.
+    Callers release via cache.release_caches()/cache_scope()."""
+    tf = scoped_persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(norm_tokens(text_col)[1]).alias("keyword"),
+        )
         .groupBy(id_col, "keyword")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
@@ -101,12 +103,13 @@ def tfidf_keywords_sql(
 ) -> str:
     """DuckDB mirror of :func:`tfidf_keywords` — same normalization,
     smoothing, rounding-before-rank, and token tie-break."""
+    t_sql, w_sql = norm_tokens_sql(text_col)
     return f"""
 WITH __ti_toks AS (
     SELECT {id_col}, unnest(w) AS keyword
     FROM (SELECT {id_col},
-                 string_split(lower(regexp_replace(trim({text_col}), '{_NORM_WS}', ' ', 'g')), ' ') AS w,
-                 lower(regexp_replace(trim({text_col}), '{_NORM_WS}', ' ', 'g')) AS t
+                 {w_sql} AS w,
+                 {t_sql} AS t
           FROM {docs_src}) s
     WHERE t <> ''),
 __ti_tf AS (

@@ -519,3 +519,108 @@ def test_decontam_drop_sql_keeps_null_ids(spark, duck):
         ).fetchall()
     )
     assert got == want == [(None,)]
+
+
+class TestNormalizationFixes:
+    """Round-4 review fixes: collapse-before-trim (leading \\n/\\t made
+    a bogus empty first token), explicit whitespace class (Java \\s
+    matches \\x0B, RE2's does not), shared across all text modules."""
+
+    def test_no_empty_token_from_leading_whitespace(self, spark):
+        from featurewiz_spark.text.tfidf import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "\napple banana"), (2, "\t\tapple  cherry\n")],
+            "doc_id int, text string",
+        )
+        kws = {r["keyword"] for r in tfidf_keywords(docs, k=10).collect()}
+        assert "" not in kws
+        assert kws == {"apple", "banana", "cherry"}
+
+    def test_vertical_tab_cross_engine(self, spark, duck):
+        # \x0B is whitespace to Java \s but NOT to RE2 \s — the shared
+        # WS_CLASS must make both engines split it identically
+        from featurewiz_spark.text.tfidf import (
+            tfidf_keywords,
+            tfidf_keywords_sql,
+        )
+
+        rows = [(1, "foo\x0bbar baz"), (2, "other words entirely")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        got = sorted(tuple(r) for r in tfidf_keywords(docs, k=5).collect())
+        duck.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(tfidf_keywords_sql("documents", k=5)).fetchall()
+        )
+        assert got == want
+        assert {t[2] for t in got} >= {"foo", "bar"}  # split, not glued
+
+    def test_segments_leading_newline_no_empty_segment(self, spark):
+        from featurewiz_spark.text.segments import duplicate_segment_filter
+
+        df = spark.createDataFrame(
+            [(1, "\na b c d tail one"), (2, "a b c d other end")],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_segment_filter(
+                df, chunk_tokens=4, min_docs=2
+            ).collect()
+        }
+        # the leading \n must not shift doc 1's chunking: both docs'
+        # first 4-token chunk is "a b c d" -> removed from both
+        assert out[1]["text_clean"] == "tail one"
+        assert out[2]["text_clean"] == "other end"
+
+    def test_q79_oracle_null_text_parity(self, spark, duck):
+        # Spark concat -> NULL row stays NULL; the oracle's CASE guard
+        # must pin DuckDB (whose concat skips NULLs) to the same
+        import __spark_entry__ as entry
+        from featurewiz_spark.text.pii import mask_pii
+
+        rows = [(7, None, "srcx"), (8, "plain words", "srcy")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        injected = docs.withColumn(
+            "text", entry._pii_injected_text(F.col("doc_id"))
+        )
+        got = sorted(
+            tuple(r)
+            for r in mask_pii(injected)
+            .select("doc_id", "text_masked", "pii_email_n")
+            .collect()
+        )
+        duck.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+        )
+        duck.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        sql = entry.oracle_sql()["q79_pii_mask"]
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(
+                f"SELECT doc_id, text_masked, pii_email_n FROM ({sql})"
+            ).fetchall()
+        )
+        assert got == want
+        assert got[0][1] is None  # the NULL-text row stays NULL
+
+    def test_interval_join_reserved_name_raises(self, spark):
+        import pytest
+
+        pts = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:00:00"), 0)],
+            "pid int, ts timestamp, __ibucket int",
+        )
+        iv = spark.createDataFrame(
+            [(9, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+            "iid int, s timestamp, e timestamp",
+        )
+        with pytest.raises(ValueError, match="__ibucket"):
+            interval_join(
+                pts, iv, point_ts="ts", start_col="s", end_col="e",
+                bucket="1 day",
+            )
