@@ -1323,6 +1323,17 @@ def _q82_lm_perplexity(spark, sf):
     )
 
 
+def _q84_chunk_documents(spark, sf):
+    """Sliding-window chunking of documents into max-16-token training
+    windows with 4-token overlap (text/chunking.py) — a pure
+    projection+explode, zero shuffles; the window arithmetic and
+    tokenizer are shared with the generated oracle."""
+    from featurewiz_spark.text.chunking import chunk_documents
+
+    docs = _tp(spark, sf, "documents")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
 def _q83_tfidf_keywords(spark, sf):
     """Top-5 TF-IDF keywords per document (smoothed idf, rounded
     BEFORE ranking with a token tie-break so the top-k set is
@@ -1420,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_interval_join": _q81_interval_join,
         "q82_lm_perplexity": _q82_lm_perplexity,
         "q83_tfidf_keywords": _q83_tfidf_keywords,
+        "q84_chunk_documents": _q84_chunk_documents,
     }
 
 
@@ -2509,6 +2521,7 @@ def _generated_oracles() -> dict[str, str]:
     )
     from featurewiz_spark.text.urls import url_features_sql
 
+    from featurewiz_spark.text.chunking import chunk_documents_sql
     from featurewiz_spark.text.decontam import decontaminate_sql
     from featurewiz_spark.text.lm import lm_score_sql
     from featurewiz_spark.text.pii import mask_pii_sql
@@ -2592,6 +2605,9 @@ def _generated_oracles() -> dict[str, str]:
         ),
         "q82_lm_perplexity": lm_score_sql("documents"),
         "q83_tfidf_keywords": tfidf_keywords_sql("documents", k=5),
+        "q84_chunk_documents": chunk_documents_sql(
+            "documents", max_tokens=16, overlap=4
+        ),
         "q81_interval_join": """
             WITH iv AS (
                 SELECT user_id % 25 AS shard, event_id AS interval_id,

@@ -624,3 +624,94 @@ class TestNormalizationFixes:
                 pts, iv, point_ts="ts", start_col="s", end_col="e",
                 bucket="1 day",
             )
+
+
+class TestChunkDocuments:
+    def test_window_rule_exact(self, spark):
+        from featurewiz_spark.text.chunking import chunk_documents
+
+        # 20 tokens, max 16, overlap 4 (stride 12): windows [0..15],
+        # [12..19] — the second exists because 0*12+16 < 20
+        toks = " ".join(f"t{i}" for i in range(20))
+        docs = spark.createDataFrame([(1, toks)], "doc_id int, text string")
+        out = sorted(
+            chunk_documents(docs, max_tokens=16, overlap=4).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert [(r["chunk_idx"], r["chunk_start"], r["chunk_n_tokens"])
+                for r in out] == [(0, 0, 16), (1, 12, 8)]
+        assert out[1]["chunk_text"] == " ".join(f"t{i}" for i in range(12, 20))
+
+    def test_short_and_exact_and_empty(self, spark):
+        from featurewiz_spark.text.chunking import chunk_documents
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c"),                                # < max -> 1 window
+                (2, " ".join(f"x{i}" for i in range(16))),   # == max -> 1
+                (3, ""),                                     # empty -> none
+                (4, None),                                   # null -> none
+            ],
+            "doc_id int, text string",
+        )
+        out = chunk_documents(docs, max_tokens=16, overlap=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc.get(1, [])) == 1
+        assert by_doc[1][0]["chunk_n_tokens"] == 3
+        assert len(by_doc.get(2, [])) == 1
+        assert 3 not in by_doc and 4 not in by_doc
+
+    def test_no_overlap_mode(self, spark):
+        from featurewiz_spark.text.chunking import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))],
+            "doc_id int, text string",
+        )
+        out = sorted(
+            chunk_documents(docs, max_tokens=4, overlap=0).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert [(r["chunk_start"], r["chunk_n_tokens"]) for r in out] == [
+            (0, 4), (4, 4), (8, 2)]
+
+    def test_param_validation(self, spark):
+        import pytest
+
+        from featurewiz_spark.text.chunking import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, max_tokens=8, overlap=8)
+
+    def test_sql_mirror_matches(self, spark, duck):
+        from featurewiz_spark.text.chunking import (
+            chunk_documents,
+            chunk_documents_sql,
+        )
+
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(40))),
+            (2, "short doc here"),
+            (3, "\n  leading whitespace doc with some more tokens here ok"),
+            (4, None),
+            (5, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        got = sorted(
+            tuple(r)
+            for r in chunk_documents(docs, max_tokens=8, overlap=2).collect()
+        )
+        duck.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(
+                chunk_documents_sql("documents", max_tokens=8, overlap=2)
+            ).fetchall()
+        )
+        assert got == want
