@@ -1323,6 +1323,36 @@ def _q82_lm_perplexity(spark, sf):
     )
 
 
+def _q85_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERS, not pairs: the q31 exact-verified pair graph
+    -> iterative min-label connected components -> per-doc cluster id
+    + canonical flag (operators/components.py). The result is
+    path-independent (min doc id per component), so the oracle is a
+    strict recursive-CTE recomputation over the same brute-force pair
+    set — no pinning."""
+    from featurewiz_spark.operators.components import attach_components
+    from featurewiz_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _tp(spark, sf, "documents")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, shingle_k=3
+    )
+    cand = minhash_lsh_pairs(
+        sigs, "doc_id", bands=8, rows_per_band=2,
+        jaccard_threshold=0.2, max_bucket_size=500,
+    )
+    ver = jaccard_pairs(
+        docs, cand.select("a", "b"), "text", "doc_id", shingle_k=3
+    ).filter(F.col("jaccard") >= 0.5)
+    return attach_components(docs, ver).select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
 def _q84_chunk_documents(spark, sf):
     """Sliding-window chunking of documents into max-16-token training
     windows with 4-token overlap (text/chunking.py) — a pure
@@ -1432,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_lm_perplexity": _q82_lm_perplexity,
         "q83_tfidf_keywords": _q83_tfidf_keywords,
         "q84_chunk_documents": _q84_chunk_documents,
+        "q85_dedup_clusters": _q85_dedup_clusters,
     }
 
 
@@ -2608,6 +2639,47 @@ def _generated_oracles() -> dict[str, str]:
         "q84_chunk_documents": chunk_documents_sql(
             "documents", max_tokens=16, overlap=4
         ),
+        # q85: q31's brute-force pair derivation feeding a recursive-CTE
+        # min-label reachability — components are path-independent, so
+        # this is a strict recomputation of the iterative Spark result
+        "q85_dedup_clusters": r"""
+            WITH RECURSIVE tk AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM tk
+            ),
+            pj AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(a.s || b.s)) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ),
+            e AS (
+                SELECT a AS src, b AS dst FROM pj WHERE j >= 0.5
+                UNION
+                SELECT b, a FROM pj WHERE j >= 0.5
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e2.dst, r.lab
+                FROM reach r JOIN e e2 ON e2.src = r.node
+            ),
+            comp AS (
+                SELECT node, min(lab) AS component FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INT)
+                       AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
         "q81_interval_join": """
             WITH iv AS (
                 SELECT user_id % 25 AS shard, event_id AS interval_id,

@@ -715,3 +715,73 @@ class TestChunkDocuments:
             ).fetchall()
         )
         assert got == want
+
+
+class TestConnectedComponents:
+    def test_transitive_cluster_and_singleton(self, spark):
+        from featurewiz_spark.cache import cache_scope
+        from featurewiz_spark.operators.components import attach_components
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in (1, 2, 3, 7, 9)], "doc_id int, text string"
+        )
+        # 1~2, 2~3 but NEVER 1~3 — the pair set alone can't dedup this
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+        with cache_scope():
+            out = {
+                r["doc_id"]: (r["component"], r["is_canonical"])
+                for r in attach_components(docs, pairs).collect()
+            }
+        assert out[1] == (1, 1)
+        assert out[2] == (1, 0)
+        assert out[3] == (1, 0)
+        # docs in no pair are their own canonical component
+        assert out[7] == (7, 1) and out[9] == (9, 1)
+
+    def test_long_chain_crosses_checkpoint(self, spark):
+        from featurewiz_spark.cache import cache_scope
+        from featurewiz_spark.operators.components import (
+            connected_components,
+        )
+
+        # 0-1-2-...-12: diameter 12 forces many rounds AND crosses the
+        # localCheckpoint boundary (checkpoint_every=5)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "a int, b int"
+        )
+        with cache_scope():
+            comp = {
+                r["node"]: r["component"]
+                for r in connected_components(pairs).collect()
+            }
+        assert comp == {i: 0 for i in range(13)}
+
+    def test_two_clusters_stay_separate(self, spark):
+        from featurewiz_spark.cache import cache_scope
+        from featurewiz_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21)], "a int, b int"
+        )
+        with cache_scope():
+            comp = {
+                r["node"]: r["component"]
+                for r in connected_components(pairs).collect()
+            }
+        assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_max_iter_raises(self, spark):
+        import pytest
+
+        from featurewiz_spark.cache import cache_scope
+        from featurewiz_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "a int, b int"
+        )
+        with cache_scope(), pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, max_iter=2)
