@@ -1376,6 +1376,71 @@ def _q83_tfidf_keywords(spark, sf):
     return tfidf_keywords(docs, k=5)
 
 
+def _q86_quality_classifier(spark, sf):
+    """GPT-3-style quality classifier (text/classifier.py): NB log-odds
+    model trained with ONE hash aggregate over the exploded corpus,
+    scored via broadcast join + per-doc mean. Self-scoring fixture:
+    lang='en' is the "quality" class — the oracle recomputes train AND
+    score from the same tokenizer/hash/smoothing definitions."""
+    from featurewiz_spark.text.classifier import (
+        add_quality_score,
+        train_quality_classifier,
+    )
+
+    docs = _tp(spark, sf, "documents")
+    labeled = docs.withColumn("__is_en", F.col("lang") == F.lit("en"))
+    model, stats = train_quality_classifier(labeled, "__is_en")
+    return add_quality_score(docs, model, stats).select(
+        "doc_id", "quality_score", "quality_keep"
+    )
+
+
+def _q87_semantic_dedup(spark, sf):
+    """SemDeDup (operators/semantic.py): deterministic seeded-Voronoi
+    clustering (pure codegen projection, zero shuffles) + ONE shuffle on
+    the cluster id feeding a row-blocked GEMM keep/drop kernel. The
+    testdata embeddings have no planted near-dups (max pairwise cosine
+    ≈0.48), so the threshold sits at 0.4 where the rule actually drops
+    rows (15-18 per SF) instead of passing trivially."""
+    from featurewiz_spark.operators.semantic import semantic_dedup
+
+    emb = _tp(spark, sf, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_clusters=8, threshold=0.4,
+    )
+
+
+def _q88_random_projection(spark, sf):
+    """Achlioptas ±1 Johnson-Lindenstrauss projection 64→8 dims
+    (operators/semantic.py): the md5-derived sign matrix is inlined as
+    plan literals, so both engines evaluate the byte-identical
+    left-to-right sum — a pure whole-stage-codegen projection."""
+    from featurewiz_spark.operators.semantic import random_projection
+
+    emb = _tp(spark, sf, "embeddings")
+    return random_projection(
+        emb, vec_col="embedding", in_dim=64, out_dim=8, seed=42
+    ).select("vec_id", *[f"proj_{d}" for d in range(8)])
+
+
+def _q89_c4_gopher_filters(spark, sf):
+    """C4 line-filtering + Gopher document-quality gates
+    (text/heuristics.py) — pure JVM higher-order expressions riding the
+    scan, zero shuffles; the oracle evaluates the same byte-identical
+    RE2-compatible patterns over the shared tokenizer."""
+    from featurewiz_spark.text.heuristics import add_c4_gopher_filters
+
+    docs = _tp(spark, sf, "documents")
+    return add_c4_gopher_filters(docs).select(
+        "doc_id", "c4_clean_text", "c4_n_lines", "c4_n_kept_lines",
+        "c4_has_lorem", "c4_has_brace", "c4_keep", "gopher_n_words",
+        "gopher_mean_word_len", "gopher_symbol_ratio",
+        "gopher_frac_bullet", "gopher_frac_ellipsis", "gopher_frac_alpha",
+        "gopher_stop_hits", "gopher_keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1463,6 +1528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_tfidf_keywords": _q83_tfidf_keywords,
         "q84_chunk_documents": _q84_chunk_documents,
         "q85_dedup_clusters": _q85_dedup_clusters,
+        "q86_quality_classifier": _q86_quality_classifier,
+        "q87_semantic_dedup": _q87_semantic_dedup,
+        "q88_random_projection": _q88_random_projection,
+        "q89_c4_gopher_filters": _q89_c4_gopher_filters,
     }
 
 
@@ -2552,7 +2621,13 @@ def _generated_oracles() -> dict[str, str]:
     )
     from featurewiz_spark.text.urls import url_features_sql
 
+    from featurewiz_spark.operators.semantic import (
+        random_projection_sql,
+        semantic_dedup_sql,
+    )
     from featurewiz_spark.text.chunking import chunk_documents_sql
+    from featurewiz_spark.text.classifier import quality_score_sql
+    from featurewiz_spark.text.heuristics import c4_gopher_sql
     from featurewiz_spark.text.decontam import decontaminate_sql
     from featurewiz_spark.text.lm import lm_score_sql
     from featurewiz_spark.text.pii import mask_pii_sql
@@ -2680,6 +2755,18 @@ def _generated_oracles() -> dict[str, str]:
                        AS is_canonical
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
+        "q86_quality_classifier": quality_score_sql(
+            "documents", "lang = 'en'"
+        ),
+        "q87_semantic_dedup": semantic_dedup_sql(
+            "embeddings", id_col="vec_id", vec_col="embedding",
+            n_clusters=8, threshold=0.4,
+        ),
+        "q88_random_projection": random_projection_sql(
+            "embeddings", ["vec_id"], vec_col="embedding",
+            in_dim=64, out_dim=8, seed=42,
+        ),
+        "q89_c4_gopher_filters": c4_gopher_sql("documents"),
         "q81_interval_join": """
             WITH iv AS (
                 SELECT user_id % 25 AS shard, event_id AS interval_id,
