@@ -1441,6 +1441,54 @@ def _q89_c4_gopher_filters(spark, sf):
     )
 
 
+def _q90_url_dedup_latest(spark, sf):
+    """Common-Crawl-style refetch dedup: messy raw URL variants (scheme
+    case, www, default port, tracking params, fragments — synthesized
+    deterministically per doc, ~10 docs per canonical) collapse via
+    normalize_url, and ONE max_by hash aggregate keeps the latest
+    (fetch_seq, doc_id) — no window, skew-proof (text/urls.py). The
+    oracle recomputes the same injection, the generated url_norm
+    expression, and a row_number tie-broken survivor."""
+    from featurewiz_spark.text.urls import dedup_by_canonical_url
+
+    docs = _tp(spark, sf, "documents")
+    did = F.col("doc_id")
+    key = (did % 50).cast("string")
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), ((did % 50) % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), key, F.lit("/index.html"),
+        F.lit("?utm_source=feed&id="), key,
+        F.when(did % 4 == 0, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    fetched = docs.select(
+        "doc_id", "lang",
+        raw.alias("url"),
+        ((did * 7919) % 1000).alias("fetch_seq"),
+    )
+    return dedup_by_canonical_url(fetched).select(
+        "url_canon", "doc_id", "lang", "fetch_seq", "n_fetches"
+    )
+
+
+def _q91_temperature_mixing(spark, sf):
+    """CCNet/LLaMA-style temperature-scaled language rebalancing
+    (operators/sampling.py): per-language keep rates from n^0.5
+    weights, decided by a portable md5 coin — deterministic, no RNG,
+    no data shuffle; only the tiny count table hits the driver. The
+    oracle recomputes counts, the ORDER-pinned normalizer, the rounded
+    rates, and the coin."""
+    from featurewiz_spark.operators.sampling import temperature_mixing_sample
+
+    docs = _tp(spark, sf, "documents")
+    return temperature_mixing_sample(
+        docs, "lang", "doc_id", temperature=0.5, target_frac=0.5
+    ).select("doc_id", "lang", "mix_rate", "mix_keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1532,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_semantic_dedup": _q87_semantic_dedup,
         "q88_random_projection": _q88_random_projection,
         "q89_c4_gopher_filters": _q89_c4_gopher_filters,
+        "q90_url_dedup_latest": _q90_url_dedup_latest,
+        "q91_temperature_mixing": _q91_temperature_mixing,
     }
 
 
@@ -2626,8 +2676,21 @@ def _generated_oracles() -> dict[str, str]:
         semantic_dedup_sql,
     )
     from featurewiz_spark.text.chunking import chunk_documents_sql
+    from featurewiz_spark.operators.sampling import temperature_mixing_sql
     from featurewiz_spark.text.classifier import quality_score_sql
     from featurewiz_spark.text.heuristics import c4_gopher_sql
+
+    _q90_raw_sql = (
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, "
+        "'Site', ((doc_id % 50) % 7)::VARCHAR, '.Example.COM', "
+        "CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END, "
+        "'/p/', (doc_id % 50)::VARCHAR, '/index.html', "
+        "'?utm_source=feed&id=', (doc_id % 50)::VARCHAR, "
+        "CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)"
+    )
     from featurewiz_spark.text.decontam import decontaminate_sql
     from featurewiz_spark.text.lm import lm_score_sql
     from featurewiz_spark.text.pii import mask_pii_sql
@@ -2767,6 +2830,29 @@ def _generated_oracles() -> dict[str, str]:
             in_dim=64, out_dim=8, seed=42,
         ),
         "q89_c4_gopher_filters": c4_gopher_sql("documents"),
+        # q90: same deterministic messy-URL injection as the Spark side,
+        # canonical form via the GENERATED url_norm expression, survivor
+        # via row_number with the same (fetch_seq, doc_id) tie-break
+        "q90_url_dedup_latest": f"""
+            WITH __ud AS (
+                SELECT doc_id, lang, {_q90_raw_sql} AS url,
+                       doc_id * 7919 % 1000 AS fetch_seq
+                FROM documents),
+            __udc AS (
+                SELECT {url_features_sql("url")["url_norm"]} AS url_canon,
+                       doc_id, lang, fetch_seq
+                FROM __ud)
+            SELECT url_canon, doc_id, lang, fetch_seq,
+                   count(*) OVER (PARTITION BY url_canon) AS n_fetches
+            FROM __udc
+            QUALIFY row_number() OVER (
+                PARTITION BY url_canon
+                ORDER BY fetch_seq DESC, doc_id DESC) = 1
+        """,
+        "q91_temperature_mixing": temperature_mixing_sql(
+            "documents", "lang", "doc_id", temperature=0.5,
+            target_frac=0.5, select_cols="d.doc_id, d.lang",
+        ),
         "q81_interval_join": """
             WITH iv AS (
                 SELECT user_id % 25 AS shard, event_id AS interval_id,

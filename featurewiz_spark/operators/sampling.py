@@ -135,3 +135,109 @@ def head_sample(df: DataFrame, n_rows: int) -> DataFrame:
     """S4 regression-mode load sampling: first-N rows (reference
     featurewiz/featurewiz.py:267-270)."""
     return df.limit(n_rows)
+
+
+def temperature_mixing_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    temperature: float = 0.5,
+    target_frac: float = 0.5,
+    rounding: int = 9,
+) -> DataFrame:
+    """Deterministic temperature-scaled stratum rebalancing — the
+    CCNet/LLaMA multilingual mixing rule: target probability of stratum
+    s is p_s ∝ n_s^T (T<1 upweights rare strata), and each row keeps
+    with rate r_s = min(1, target_frac·N·p_s / n_s) decided by a
+    portable md5-hash coin, so the SAME rows are chosen on every run,
+    every partitioning, and every engine (no RNG, no shuffle, no
+    collect of data rows — only the tiny per-stratum count table hits
+    the driver).
+
+    Appends ``mix_rate`` (the stratum's keep rate, rounded — the
+    rounding is the cross-engine contract: libm pow may differ by an
+    ulp between engines, the rounded rate cannot) and ``mix_keep``
+    (hash_frac < mix_rate). NULL strata get NULL rate/keep. Filter on
+    ``mix_keep`` to materialize the mix.
+
+    T=0.5 uses math.sqrt (correctly rounded IEEE, bit-identical in any
+    engine); other T use pow. The generated SQL mirror
+    (:func:`temperature_mixing_sql`) recomputes counts and rates with
+    an ORDER-pinned sum so the normalizer associates in the same
+    stratum order as this driver-side loop.
+    """
+    import math
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        raise ValueError("temperature_mixing_sample: no non-null strata")
+    tot = sum(counts.values())
+    powed = {
+        s: math.sqrt(c) if temperature == 0.5 else math.pow(c, temperature)
+        for s, c in counts.items()
+    }
+    z = 0.0
+    for s in sorted(powed):  # pinned association order (mirror matches)
+        z += powed[s]
+    rates = {
+        s: round(min(1.0, target_frac * tot * (powed[s] / z) / counts[s]),
+                 rounding)
+        for s in counts
+    }
+    mapping = F.create_map(
+        *[x for s in sorted(rates) for x in (F.lit(s), F.lit(rates[s]))]
+    )
+    hash_frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") / F.lit(float(1 << 60))
+    )
+    return df.withColumn("mix_rate", mapping[F.col(strata_col)]).withColumn(
+        "mix_keep",
+        F.when(F.col("mix_rate").isNotNull(), hash_frac < F.col("mix_rate")),
+    )
+
+
+def temperature_mixing_sql(
+    src: str,
+    strata_col: str,
+    id_col: str,
+    temperature: float = 0.5,
+    target_frac: float = 0.5,
+    rounding: int = 9,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixing_sample` — recomputes
+    the count table, the temperature weights (sqrt for T=0.5 — the
+    correctly-rounded case — else pow), an ORDER BY-pinned normalizer
+    sum matching the driver loop's sorted-stratum association, and the
+    same rounded rate + md5-coin decision."""
+    pw = (
+        f"sqrt(n)" if temperature == 0.5 else f"pow(n, {temperature!r})"
+    )
+    hash_frac = (
+        f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 15))::BIGINT"
+        f" / {float(1 << 60)!r})"
+    )
+    return f"""
+WITH __tm_counts AS (
+    SELECT {strata_col} AS s, count(*) AS n
+    FROM {src} WHERE {strata_col} IS NOT NULL GROUP BY 1),
+__tm_tot AS (SELECT sum(n) AS tot FROM __tm_counts),
+__tm_z AS (SELECT sum({pw} ORDER BY s) AS z FROM __tm_counts),
+__tm_rates AS (
+    SELECT s,
+           round(least(1.0,
+               {target_frac!r} * (SELECT tot FROM __tm_tot)
+               * ({pw} / (SELECT z FROM __tm_z)) / n), {rounding}) AS mix_rate
+    FROM __tm_counts)
+SELECT {select_cols}, r.mix_rate,
+       CASE WHEN r.mix_rate IS NULL THEN NULL
+            ELSE {hash_frac} < r.mix_rate END AS mix_keep
+FROM {src} d LEFT JOIN __tm_rates r ON d.{strata_col} = r.s
+"""

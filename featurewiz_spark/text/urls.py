@@ -168,3 +168,43 @@ def url_features_sql(
         "url_n_params": f"CAST(len({kept}) AS INT)",
         "url_is_https": f"CAST({scheme} = 'https' AS INT)",
     }
+
+
+def dedup_by_canonical_url(
+    df,
+    url_col: str = "url",
+    order_col: str = "fetch_seq",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+    canon_col: str = "url_canon",
+):
+    """Keep the LATEST fetch per canonical URL — the Common-Crawl-style
+    refetch dedup: many raw URLs (scheme case, default ports, www,
+    tracking params, fragments) collapse to one canonical form via
+    :func:`normalize_url`, and only the row with the greatest
+    (order_col, id_col) survives.
+
+    ONE hash aggregate with `max_by(struct(all columns),
+    struct(order_col, id_col))` — the skew-proof shape (map-side
+    partials collapse a hot URL's refetches before the shuffle; a
+    10^8-refetch URL costs one row per map task, the same pattern as
+    the curation dedup). No window, no per-key sort task. Tie-break on
+    id_col makes the survivor deterministic even with duplicate
+    order values. Output: ``canon_col`` + every input column (survivor
+    row) + ``n_fetches``.
+    """
+    if canon_col in df.columns:
+        raise ValueError(f"dedup_by_canonical_url: {canon_col!r} exists")
+    src_cols = df.columns
+    with_canon = df.withColumn(canon_col, normalize_url(F.col(url_col), strip_www))
+    return (
+        with_canon.groupBy(canon_col)
+        .agg(
+            F.max_by(
+                F.struct(*src_cols),
+                F.struct(F.col(order_col), F.col(id_col)),
+            ).alias("__survivor"),
+            F.count(F.lit(1)).alias("n_fetches"),
+        )
+        .select(canon_col, "__survivor.*", "n_fetches")
+    )
