@@ -1489,6 +1489,20 @@ def _q91_temperature_mixing(spark, sf):
     ).select("doc_id", "lang", "mix_rate", "mix_keep")
 
 
+def _q92_web_curation(spark, sf):
+    """Composed RefinedWeb/CCNet-shaped curation flagship
+    (plans/pipeline.py::web_curation_pipeline): exact dedup (min_by
+    aggregate) → self-trained bigram-LM filter → benchmark
+    decontamination (drop) → temperature-scaled language rebalancing —
+    one dedup shuffle, broadcast model/gram tables, md5-coin mixing.
+    The oracle composes the four generated mirrors as CTEs."""
+    from featurewiz_spark.plans.pipeline import web_curation_pipeline
+
+    docs = _tp(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    return web_curation_pipeline(docs, bench)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1582,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_c4_gopher_filters": _q89_c4_gopher_filters,
         "q90_url_dedup_latest": _q90_url_dedup_latest,
         "q91_temperature_mixing": _q91_temperature_mixing,
+        "q92_web_curation": _q92_web_curation,
     }
 
 
@@ -2853,6 +2868,34 @@ def _generated_oracles() -> dict[str, str]:
             "documents", "lang", "doc_id", temperature=0.5,
             target_frac=0.5, select_cols="d.doc_id, d.lang",
         ),
+        # q92: the four generated mirrors composed as CTEs — dedup
+        # (row_number survivor), LM trained on the DEDUPED corpus,
+        # decontam drop vs the raw-doc benchmark subset, mixing rates
+        # recomputed over the post-filter corpus
+        "q92_web_curation": f"""
+            WITH __wc_dedup AS (
+                SELECT * FROM documents
+                QUALIFY row_number() OVER (
+                    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                    ORDER BY doc_id) = 1),
+            __wc_lm AS (
+                SELECT d.*, s.lm_bits_per_token
+                FROM __wc_dedup d
+                JOIN ({lm_score_sql("__wc_dedup")}) s USING (doc_id)
+                WHERE s.lm_bits_per_token <= 4.95),
+            __wc_clean AS ({decontaminate_sql(
+                "__wc_lm",
+                "(SELECT text FROM documents WHERE doc_id % 37 = 0) __bench",
+                n=8, mode="drop",
+            )})
+            SELECT doc_id, lang, lm_bits_per_token, mix_rate
+            FROM ({temperature_mixing_sql(
+                "__wc_clean", "lang", "doc_id",
+                temperature=0.5, target_frac=0.5,
+                select_cols="d.doc_id, d.lang, d.lm_bits_per_token",
+            )})
+            WHERE mix_keep
+        """,
         "q81_interval_join": """
             WITH iv AS (
                 SELECT user_id % 25 AS shard, event_id AS interval_id,

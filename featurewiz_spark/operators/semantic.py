@@ -263,7 +263,11 @@ def random_projection(
     for d in range(out_dim):
         acc = None
         for j in range(1, in_dim + 1):
-            term = F.element_at(F.col(vec_col), j).cast("double")
+            # F.get, not element_at: ANSI mode makes element_at THROW on
+            # an out-of-bounds index, so one short vector would abort the
+            # whole job; get yields NULL -> proj NULL for that row, which
+            # matches the DuckDB mirror's embedding[j] semantics
+            term = F.get(F.col(vec_col), j - 1).cast("double")
             if _jl_sign(seed, d, j) < 0:
                 term = -term
             acc = term if acc is None else acc + term

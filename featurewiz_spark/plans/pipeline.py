@@ -184,3 +184,62 @@ def featurewiz(
     )
     out = fw.fit_transform(df, target)
     return fw.features, out
+
+
+def web_curation_pipeline(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    lm_threshold: float = 4.95,
+    decontam_n: int = 8,
+    temperature: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """RefinedWeb/CCNet-shaped END-TO-END web curation — the composed
+    proof that the LLM-pipeline operators chain: exact dedup →
+    self-trained bigram-LM perplexity filter → benchmark
+    decontamination (drop mode) → temperature-scaled stratum
+    rebalancing. Output: surviving (id, stratum, lm_bits_per_token,
+    mix_rate) rows.
+
+    Plan shape at 100 TB: ONE dedup shuffle (min_by aggregate, map-side
+    partials collapse a 10^8-copy boilerplate page — same rationale as
+    `documents_curation_pipeline`); the LM model and benchmark gram set
+    are vocabulary-/benchmark-bounded BROADCAST tables so the corpus is
+    never reshuffled by scoring or decontamination; mixing adds no data
+    shuffle (only the per-stratum count table hits the driver). The
+    cleaned frame is persisted before mixing because mixing's count
+    aggregation and the final projection both consume it.
+
+    LM threshold compares the ROUNDED (6 dp) score, and NULL scores
+    (docs with <2 tokens) are dropped by the comparison — both exactly
+    mirrored by the composed SQL oracle (q92).
+    """
+    from featurewiz_spark.cache import scoped_persist
+    from featurewiz_spark.operators.sampling import temperature_mixing_sample
+    from featurewiz_spark.text.decontam import decontaminate
+    from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    d = (
+        docs.groupBy(F.md5(norm).alias("__h"))
+        .agg(F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("__r"))
+        .select("__r.*")
+    )
+    uni, big = train_bigram_lm(d, text_col=text_col)
+    d = add_lm_score(d, uni, big, text_col=text_col, id_col=id_col)
+    d = d.filter(F.col("lm_bits_per_token") <= lm_threshold)
+    d = decontaminate(
+        d, bench, text_col=text_col, id_col=id_col, n=decontam_n,
+        mode="drop",
+    )
+    d = scoped_persist(d)
+    d = temperature_mixing_sample(
+        d, strata_col, id_col, temperature=temperature,
+        target_frac=target_frac,
+    )
+    return d.filter(F.col("mix_keep")).select(
+        id_col, strata_col, "lm_bits_per_token", "mix_rate"
+    )

@@ -75,6 +75,11 @@ def train_quality_classifier(
 
     Raises if either class has zero documents — a one-class "model"
     would silently score everything with the prior's sign.
+
+    Rows with a NULL label are excluded from BOTH classes (their tokens
+    train nothing, their docs count toward neither prior) — the same
+    NULL-skipping the generated SQL mirror's ``sum`` performs, so the
+    engines agree on partially-labeled corpora.
     """
     y = F.col(label_col).cast("int")
     toks = _tokens(text_col)
@@ -127,6 +132,10 @@ def add_quality_score(
     and NULL flows through the engine's missing-value machinery
     instead of inheriting the prior's sign silently."""
     import math
+
+    clash = {out_col, keep_col} & set(docs.columns)
+    if clash:
+        raise ValueError(f"add_quality_score: columns exist: {sorted(clash)}")
 
     prior = math.log(stats["n_pos_docs"] / stats["n_neg_docs"])
     vp = float(k) * stats["vocab"]

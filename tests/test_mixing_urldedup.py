@@ -171,3 +171,60 @@ def test_mixing_sql_mirror_parity(spark, duck, tmp_path):
     sql = temperature_mixing_sql("rows", "s", "id", select_cols="d.id, d.s")
     duck_rows = sorted(map(tuple, duck.sql(sql).fetchall()))
     assert spark_rows == duck_rows
+
+
+# ------------------------------------------------------------------
+# composed web curation pipeline (q92)
+# ------------------------------------------------------------------
+
+
+def test_web_curation_pipeline_stages(spark):
+    """Planted fixture exercising every stage: exact dup collapses to
+    the min id, the LM filter drops the out-of-distribution doc, the
+    decontamination stage drops the benchmark-overlapping doc, and the
+    survivors carry mixing rates."""
+    from featurewiz_spark.plans.pipeline import web_curation_pipeline
+    from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+    fluent = "the data pipeline cleans the data pipeline cleans the data"
+    # doc 3: all-singleton tokens -> the highest self-trained bits.
+    # doc 4: fluent vocabulary (passes the LM gate) but its unique
+    # 8-token runs match the benchmark -> only decontam can drop it.
+    contaminated = "the data pipeline cleans the data corpus again well"
+    rows = [
+        (0, fluent, "en"),
+        (1, fluent, "en"),                      # exact dup of 0
+        (2, "the data pipeline cleans the web corpus well", "en"),
+        (3, "zq wv xk jn pl mt ry bs dq fw gh kz", "de"),   # OOD tokens
+        (4, contaminated, "en"),
+        (5, "the web corpus cleans the data pipeline again", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    bench = spark.createDataFrame([(contaminated,)], "text: string")
+    # pick a threshold separating doc 3 from the fluent docs — trained
+    # on the DEDUPED corpus, exactly what the pipeline's LM stage sees
+    # (training on the raw corpus would shift every count and therefore
+    # the scores)
+    deduped = docs.where(F.col("doc_id") != 1)
+    uni, big = train_bigram_lm(deduped)
+    scores = dict(
+        add_lm_score(deduped, uni, big)
+        .select("doc_id", "lm_bits_per_token").collect()
+    )
+    others = max(scores[0], scores[2], scores[4], scores[5])
+    assert scores[3] > others
+    thr = (scores[3] + others) / 2
+
+    out = web_curation_pipeline(
+        docs, bench, lm_threshold=thr, decontam_n=8,
+        temperature=0.5, target_frac=1.0,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 1 not in got          # dup: min id 0 is the survivor
+    assert 3 not in got          # OOD doc filtered by the LM gate
+    assert 4 not in got          # contaminated vs bench
+    # target_frac=1.0 -> every stratum rate clamps to >= its fair
+    # share; the surviving fluent docs must all be present
+    assert set(got) == {0, 2, 5}
+    for r in got.values():
+        assert r["mix_rate"] is not None and r["lm_bits_per_token"] is not None

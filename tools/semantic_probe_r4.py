@@ -1,0 +1,275 @@
+"""Round-4 at-scale probe: SemDeDup semantic dedup (operators/semantic.py)
+under a genuinely hot direction at ~1M vectors.
+
+Two runs over the same corpus (the per-round skew-probe discipline, cf.
+BENCH/SKEW.md, BENCH/SEGMENTS.md):
+
+**Run A — built-in seeded-Voronoi assignment.** 200k near-identical
+vectors (one hot direction) + 40k on a second direction + 5k planted
+cos-0.96 pairs + random bulk. Because seeds are drawn FROM the corpus
+by md5 order, a hot direction seeds SEVERAL cells (~64·200k/1M ≈ 13 of
+the 64 seeds are themselves hot vectors) and the hot ball self-splits
+across them — an emergent load-balancing property worth pinning: the
+operator does NOT concentrate a hot direction into one cell when seeds
+are data-derived. Asserts: no processed cell exceeds the cap, each
+near-identical band drops all-but-one-per-cell, zero drops in the
+random bulk (strong splitmix64 vector generator — no aliasing), pair
+recall > 0.5 (boundary straddles are the SemDeDup paper's caveat).
+
+**Run B — external `cluster_col` (the IVF path).** Assignment is
+forced: ALL 200k hot vectors into one cell (3.3x the cap) — the
+``max_cluster_size`` guard must skip that cell (0 drops, no
+unsplittable quadratic task); the 40k warm cell sits under the cap and
+IS processed (exactly 39,999 drops); pairs co-cluster by construction
+(recall exactly 1.0 — 5,000 drops).
+
+Also reports wall time, min-of-2 (host-noise caveats as in
+BENCH/BASELINE.md).
+
+Vector generation is per-row deterministic (splitmix64), so the corpus
+is identical at any partitioning.
+
+Usage: python tools/semantic_probe_r4.py [n_total] [cores]
+Appends a section to BENCH/SEMANTIC.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+DIM = 32   # at dim 16, P(cos>=0.95) ~ 3e-7 makes ~2k CHANCE near-dups
+           # among 1M random vectors (measured) — dim 32 pushes it to
+           # ~1e-15, so the random-band zero-drop assertion is geometric
+N_CLUSTERS = 64
+THRESHOLD = 0.95
+CAP = 60_000
+
+N_HOT = 200_000     # one near-identical direction
+N_WARM = 40_000     # second direction, just under the cap
+N_PAIRS = 5_000     # planted 0.96-cos pairs in the random bulk
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _M64
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _M64
+    return z ^ (z >> np.uint64(31))
+
+
+def _hashvecs(ids: np.ndarray) -> np.ndarray:
+    """Deterministic strong pseudo-random unit vectors (splitmix64 per
+    (id, dim) cell — no trig aliasing, vectorized)."""
+    base = ids.astype(np.uint64)[:, None] * np.uint64(DIM)
+    cells = base + np.arange(DIM, dtype=np.uint64)[None, :]
+    u = _splitmix64(cells)
+    v = (u.astype(np.float64) / 2.0**64) - 0.5
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.maximum(n, 1e-12)
+
+
+def _unit(v):
+    return v / np.linalg.norm(v)
+
+
+def build(spark, n_total: int):
+    """id layout: [0, N_HOT) hot | [N_HOT, N_HOT+N_WARM) warm |
+    next 2*N_PAIRS pair rows (even=base, odd=dup at cos .96) | rest
+    random."""
+    hot_dir = _unit(_hashvecs(np.array([10_000_001]))[0])
+    warm_dir = _unit(_hashvecs(np.array([10_000_002]))[0])
+    pair_base = N_HOT + N_WARM
+    rand_base = pair_base + 2 * N_PAIRS
+    c = 0.96
+    s = float(np.sqrt(1 - c * c))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), DIM))
+            jit = 0.005 * _hashvecs(ids + 20_000_000)
+            hot = ids < N_HOT
+            warm = (ids >= N_HOT) & (ids < N_HOT + N_WARM)
+            pairm = (ids >= pair_base) & (ids < rand_base)
+            rnd = ids >= rand_base
+            if hot.any():
+                v = hot_dir[None, :] + jit[hot]
+                out[hot] = v / np.linalg.norm(v, axis=1, keepdims=True)
+            if warm.any():
+                v = warm_dir[None, :] + jit[warm]
+                out[warm] = v / np.linalg.norm(v, axis=1, keepdims=True)
+            if pairm.any():
+                pid = ids[pairm]
+                base = _hashvecs((pid // 2) * 2)   # both rows: base vec
+                is_dup = (pid % 2) == 1
+                perp = _hashvecs((pid // 2) * 2 + 30_000_000)
+                dots = (perp * base).sum(axis=1, keepdims=True)
+                perp = perp - dots * base
+                perp /= np.maximum(
+                    np.linalg.norm(perp, axis=1, keepdims=True), 1e-12
+                )
+                v = np.where(is_dup[:, None], c * base + s * perp, base)
+                out[pairm] = v
+            if rnd.any():
+                out[rnd] = _hashvecs(ids[rnd])
+            yield pd.DataFrame(
+                {"vec_id": ids.astype("int64"), "embedding": list(out)}
+            )
+
+    return (
+        spark.range(n_total)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, "vec_id: long, embedding: array<double>")
+    )
+
+
+def _band_col():
+    pair_hi = N_HOT + N_WARM + 2 * N_PAIRS
+    return (
+        F.when(F.col("vec_id") < N_HOT, "hot")
+        .when(F.col("vec_id") < N_HOT + N_WARM, "warm")
+        .when(F.col("vec_id") < pair_hi, "pairs")
+        .otherwise("random")
+    )
+
+
+def _run(df, times, **kw):
+    from featurewiz_spark.operators.semantic import semantic_dedup
+
+    out = None
+    for _ in range(2):
+        if out is not None:
+            out.unpersist()
+        t0 = time.time()
+        out = semantic_dedup(df, "vec_id", "embedding",
+                             threshold=THRESHOLD, **kw).persist()
+        out.count()
+        times.append(time.time() - t0)
+    drops = {
+        r["band"]: r["d"]
+        for r in out.withColumn("band", _band_col())
+        .groupBy("band")
+        .agg(F.sum((~F.col("keep")).cast("long")).alias("d"))
+        .collect()
+    }
+    sizes = (
+        out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n")).limit(5).collect()
+    )
+    cells = {
+        b: n
+        for b, n in out.withColumn("band", _band_col())
+        .groupBy("band")
+        .agg(F.countDistinct("cluster").alias("n"))
+        .collect()
+    }
+    out.unpersist()
+    return drops, [r["n"] for r in sizes], cells
+
+
+def main():
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    from featurewiz_spark import get_spark
+
+    spark = get_spark("semantic_probe", cores=cores,
+                      shuffle_partitions=cores * 4)
+    df = build(spark, n_total).persist()
+    df.count()
+
+    # Run A: built-in seeded Voronoi
+    ta: list = []
+    drops_a, top_a, cells_a = _run(
+        df, ta, n_clusters=N_CLUSTERS, max_cluster_size=CAP
+    )
+    # Run B: external assignment (IVF path), hot cell forced over cap
+    pair_base = N_HOT + N_WARM
+    pair_hi = pair_base + 2 * N_PAIRS
+    ext = df.withColumn(
+        "cell",
+        F.when(F.col("vec_id") < N_HOT, F.lit(0))
+        .when(F.col("vec_id") < pair_base, F.lit(1))
+        .when(
+            F.col("vec_id") < pair_hi,
+            (
+                F.pmod(
+                    F.floor((F.col("vec_id") - pair_base) / 2), F.lit(30)
+                ) + 2
+            ).cast("int"),
+        )
+        .otherwise((F.pmod(F.col("vec_id"), F.lit(31)) + 33).cast("int")),
+    )
+    tb: list = []
+    drops_b, top_b, _ = _run(ext, tb, cluster_col="cell",
+                             max_cluster_size=CAP)
+
+    recall_a = drops_a.get("pairs", 0) / N_PAIRS
+    exp_cell = n_total / N_CLUSTERS
+    ok_a = (
+        max(top_a) <= max(CAP, N_HOT)  # no processed blow-up (capped cells counted in size, not processed)
+        and drops_a.get("hot", 0) >= N_HOT - N_CLUSTERS
+        and drops_a.get("warm", 0) >= N_WARM - N_CLUSTERS
+        and drops_a.get("random", 0) <= 10
+        and recall_a > 0.5
+    )
+    ok_b = (
+        drops_b.get("hot", 0) == 0          # capped cell skipped
+        and drops_b.get("warm", 0) == N_WARM - 1
+        and drops_b.get("pairs", 0) == N_PAIRS  # co-clustered => recall 1.0
+        and drops_b.get("random", 0) <= 10
+    )
+    lines = [
+        "",
+        f"## SemDeDup hot-direction probe — {n_total:,} vectors, dim {DIM}, "
+        f"local[{cores}] ({time.strftime('%Y-%m-%d')})",
+        "",
+        f"- layout: {N_HOT:,} hot (one direction, mutual cos≈0.9999), "
+        f"{N_WARM:,} warm (second direction), {N_PAIRS:,} planted "
+        f"cos-0.96 pairs, rest random (splitmix64 generator); "
+        f"threshold={THRESHOLD}, cap={CAP:,}",
+        "",
+        f"**Run A — built-in seeded Voronoi (n_clusters={N_CLUSTERS})**",
+        f"- corpus-drawn seeds SELF-SPLIT the hot direction: hot band "
+        f"occupies {cells_a.get('hot', '?')} cells (top cell "
+        f"{top_a[0]:,} vs expected uniform {exp_cell:,.0f}) — no single "
+        f"hot-direction cell, an emergent load-balance property of "
+        f"data-derived seeds",
+        f"- drops: hot {drops_a.get('hot', 0):,} (≥{N_HOT - N_CLUSTERS:,}"
+        f" = all-but-one-per-cell), warm {drops_a.get('warm', 0):,}, "
+        f"random {drops_a.get('random', 0):,} (expected 0: at dim "
+        f"{DIM}, P(cos>=0.95) for random directions is ~1e-15), pair "
+        f"recall {recall_a:.3f} (misses = Voronoi boundary straddles, "
+        f"the paper's caveat)",
+        f"- wall {' / '.join(f'{t:.1f}s' for t in ta)} (min {min(ta):.1f}s)",
+        f"- verdict: {'PASS' if ok_a else 'FAIL'}",
+        "",
+        f"**Run B — external cluster_col (IVF path), hot cell forced "
+        f"to {N_HOT:,} = {N_HOT / CAP:.1f}x cap**",
+        f"- cap engaged: hot drops {drops_b.get('hot', 0)} (cell "
+        f"skipped, coverage loss explicit — no unsplittable quadratic "
+        f"task); warm cell under cap processed: "
+        f"{drops_b.get('warm', 0):,} drops (exactly {N_WARM - 1:,}); "
+        f"co-clustered pair recall "
+        f"{drops_b.get('pairs', 0) / N_PAIRS:.3f} (exact)",
+        f"- wall {' / '.join(f'{t:.1f}s' for t in tb)} (min {min(tb):.1f}s)",
+        f"- verdict: {'PASS' if ok_b else 'FAIL'}",
+    ]
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "BENCH", "SEMANTIC.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print("PROBE", "PASS" if (ok_a and ok_b) else "FAIL")
+    sys.exit(0 if (ok_a and ok_b) else 1)
+
+
+if __name__ == "__main__":
+    main()
