@@ -1503,6 +1503,20 @@ def _q92_web_curation(spark, sf):
     return web_curation_pipeline(docs, bench)
 
 
+def _q93_pack_sequences(spark, sf):
+    """GPT-style concat-and-chunk sequence packing
+    (text/chunking.py::pack_sequences): per-shard ordered token cumsum
+    assigns each document its training sequence id + offset — exact
+    integer arithmetic, portable md5-60 shard hash, shard count is the
+    partition-size knob at scale."""
+    from featurewiz_spark.text.chunking import pack_sequences
+
+    docs = _tp(spark, sf, "documents")
+    return pack_sequences(docs, budget=64, n_shards=8).select(
+        "doc_id", "pack_shard", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1597,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_url_dedup_latest": _q90_url_dedup_latest,
         "q91_temperature_mixing": _q91_temperature_mixing,
         "q92_web_curation": _q92_web_curation,
+        "q93_pack_sequences": _q93_pack_sequences,
     }
 
 
@@ -2690,7 +2705,10 @@ def _generated_oracles() -> dict[str, str]:
         random_projection_sql,
         semantic_dedup_sql,
     )
-    from featurewiz_spark.text.chunking import chunk_documents_sql
+    from featurewiz_spark.text.chunking import (
+        chunk_documents_sql,
+        pack_sequences_sql,
+    )
     from featurewiz_spark.operators.sampling import temperature_mixing_sql
     from featurewiz_spark.text.classifier import quality_score_sql
     from featurewiz_spark.text.heuristics import c4_gopher_sql
@@ -2845,6 +2863,9 @@ def _generated_oracles() -> dict[str, str]:
             in_dim=64, out_dim=8, seed=42,
         ),
         "q89_c4_gopher_filters": c4_gopher_sql("documents"),
+        "q93_pack_sequences": pack_sequences_sql(
+            "documents", budget=64, n_shards=8, select_cols="doc_id"
+        ),
         # q90: same deterministic messy-URL injection as the Spark side,
         # canonical form via the GENERATED url_norm expression, survivor
         # via row_number with the same (fetch_seq, doc_id) tie-break

@@ -111,3 +111,94 @@ SELECT {id_col}, chunk_idx,
            AS chunk_text
 FROM __ck_idx
 """
+
+
+def pack_sequences(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 8,
+) -> "DataFrame":
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in a deterministic order and cut every ``budget`` tokens;
+    each document learns WHICH training sequence it starts in and at
+    what offset. Output: input columns + ``pack_shard``, ``n_tokens``,
+    ``pack_id`` (global: shard * 2^40 + within-shard pack), and
+    ``pack_offset``.
+
+    Scale shape: the running token sum is a per-shard ordered window —
+    shard = md5-60(id) % n_shards (portable hash, identical in the
+    mirror), order = id. Choose ``n_shards`` ∝ corpus so a shard's
+    partition stays task-sized (the same knob as every bucketed op
+    here); each shard packs independently, which is exactly how a
+    multi-host tokenizer farm shards packing in practice. All
+    arithmetic is exact integers — the mirror cannot drift by a ULP.
+
+    A document with more tokens than remain in its starting pack spills
+    into the next pack(s) — concat-and-chunk semantics (documents cross
+    sequence boundaries; the standard GPT pretraining layout).
+    """
+    from pyspark.sql import Window
+
+    for c in ("pack_shard", "n_tokens", "pack_id", "pack_offset"):
+        if c in docs.columns:
+            raise ValueError(f"pack_sequences: column {c!r} exists")
+    _, toks = norm_tokens(text_col)
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    d = docs.withColumn("pack_shard", shard).withColumn(
+        "n_tokens", F.size(toks).cast("long")
+    )
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.withColumn(
+        "pack_id",
+        (F.col("pack_shard").cast("long") * F.lit(1 << 40)
+         + F.floor(start / F.lit(budget))).cast("long"),
+    ).withColumn("pack_offset", F.pmod(start, F.lit(budget)).cast("long"))
+
+
+def pack_sequences_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 8,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` — same portable shard
+    hash, same ordered window, exact integer arithmetic (window sums
+    cast from HUGEINT back to BIGINT)."""
+    t_sql, w_sql = norm_tokens_sql(text_col)
+    shard = (
+        f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 15))::BIGINT"
+        f" % {n_shards})::INT"
+    )
+    ntok = (
+        f"CASE WHEN {t_sql} = '' OR {text_col} IS NULL THEN 0"
+        f" ELSE len({w_sql}) END::BIGINT"
+    )
+    return f"""
+WITH __ps AS (
+    SELECT {select_cols}, {shard} AS pack_shard, {ntok} AS n_tokens
+    FROM {src}),
+__ps2 AS (
+    SELECT *,
+           (sum(n_tokens) OVER (
+                PARTITION BY pack_shard ORDER BY {id_col}
+                ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS strt
+    FROM __ps)
+SELECT * EXCLUDE (strt),
+       (pack_shard::BIGINT * {1 << 40} + strt // {budget})::BIGINT AS pack_id,
+       (strt % {budget})::BIGINT AS pack_offset
+FROM __ps2
+"""

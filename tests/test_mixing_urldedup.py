@@ -228,3 +228,65 @@ def test_web_curation_pipeline_stages(spark):
     assert set(got) == {0, 2, 5}
     for r in got.values():
         assert r["mix_rate"] is not None and r["lm_bits_per_token"] is not None
+
+
+# ------------------------------------------------------------------
+# sequence packing (q93)
+# ------------------------------------------------------------------
+
+
+def test_pack_sequences_known_answer(spark):
+    from featurewiz_spark.text.chunking import pack_sequences
+
+    rows = [(0, "a b c"), (1, "d e f g"), (2, "h i"), (3, None), (4, "j")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+        for r in pack_sequences(df, budget=5, n_shards=1).collect()
+    }
+    # single shard, ordered by id: starts 0, 3, 7, 9, 9
+    assert out[0] == (0, 0, 3)
+    assert out[1] == (0, 3, 4)   # spills into pack 1 (concat-and-chunk)
+    assert out[2] == (1, 2, 2)
+    assert out[3] == (1, 4, 0)   # NULL text = zero tokens, still placed
+    assert out[4] == (1, 4, 1)
+
+
+def test_pack_sequences_partition_invariant_and_clash(spark):
+    import pytest as _pytest
+
+    from featurewiz_spark.text.chunking import pack_sequences
+
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    a = sorted(map(tuple, pack_sequences(df, budget=16, n_shards=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(df.repartition(11), budget=16, n_shards=4).collect(),
+        )
+    )
+    assert a == b
+    with _pytest.raises(ValueError, match="pack_id"):
+        pack_sequences(df.withColumn("pack_id", F.lit(1)))
+
+
+def test_pack_sequences_sql_mirror_parity(spark, duck, tmp_path):
+    from featurewiz_spark.text.chunking import pack_sequences, pack_sequences_sql
+
+    rows = [(i, None if i % 13 == 0 else "w " * (i % 9 + 1)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    cols = ["doc_id", "pack_shard", "n_tokens", "pack_id", "pack_offset"]
+    spark_rows = sorted(
+        map(tuple, pack_sequences(df, budget=10, n_shards=3)
+            .select(*cols).collect())
+    )
+    duck.sql(f"CREATE VIEW docs AS SELECT * FROM '{p}/*.parquet'")
+    sql = pack_sequences_sql("docs", budget=10, n_shards=3,
+                             select_cols="doc_id")
+    duck_rows = sorted(map(tuple, duck.sql(
+        f"SELECT {', '.join(cols)} FROM ({sql})"
+    ).fetchall()))
+    assert spark_rows == duck_rows
