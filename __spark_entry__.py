@@ -1517,6 +1517,17 @@ def _q93_pack_sequences(spark, sf):
     )
 
 
+def _q94_build_vocabulary(spark, sf):
+    """Tokenizer-training vocabulary table (text/tfidf.py): ONE hash
+    aggregate over the exploded corpus + distributed top-k
+    (TakeOrderedAndProject, not a global sort); deterministic
+    (term_freq DESC, token ASC) cut."""
+    from featurewiz_spark.text.tfidf import build_vocabulary
+
+    docs = _tp(spark, sf, "documents")
+    return build_vocabulary(docs, min_df=2, top_k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1612,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_temperature_mixing": _q91_temperature_mixing,
         "q92_web_curation": _q92_web_curation,
         "q93_pack_sequences": _q93_pack_sequences,
+        "q94_build_vocabulary": _q94_build_vocabulary,
     }
 
 
@@ -2727,7 +2739,10 @@ def _generated_oracles() -> dict[str, str]:
     from featurewiz_spark.text.decontam import decontaminate_sql
     from featurewiz_spark.text.lm import lm_score_sql
     from featurewiz_spark.text.pii import mask_pii_sql
-    from featurewiz_spark.text.tfidf import tfidf_keywords_sql
+    from featurewiz_spark.text.tfidf import (
+        build_vocabulary_sql,
+        tfidf_keywords_sql,
+    )
 
     # NULL-guard: Spark concat is NULL if ANY argument is NULL, DuckDB
     # concat SKIPS NULLs — the CASE pins both engines to Spark semantics
@@ -2865,6 +2880,9 @@ def _generated_oracles() -> dict[str, str]:
         "q89_c4_gopher_filters": c4_gopher_sql("documents"),
         "q93_pack_sequences": pack_sequences_sql(
             "documents", budget=64, n_shards=8, select_cols="doc_id"
+        ),
+        "q94_build_vocabulary": build_vocabulary_sql(
+            "documents", min_df=2, top_k=100
         ),
         # q90: same deterministic messy-URL injection as the Spark side,
         # canonical form via the GENERATED url_norm expression, survivor

@@ -133,3 +133,59 @@ __ti_ranked AS (
 SELECT {id_col}, rank, keyword, tfidf
 FROM __ti_ranked WHERE rank <= {int(k)}
 """
+
+
+def build_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary table — the first step of tokenizer training:
+    per token, ``term_freq`` (total occurrences) and ``doc_freq``
+    (documents containing it), tokens in fewer than ``min_df`` docs
+    dropped, truncated to the ``top_k`` most frequent with the
+    deterministic (term_freq DESC, token ASC) tie-break so the selected
+    SET is engine- and partition-invariant.
+
+    Plan: explode → ONE hash aggregate (count + count(DISTINCT id) get
+    partial aggregation) → TakeOrderedAndProject for the top-k (a
+    distributed heap per partition + driver merge of k rows — NOT a
+    global sort, NOT a single-task row_number window). Vocabulary is
+    corpus-bounded; k rows reach the driver."""
+    _, toks = norm_tokens(text_col)
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("__id").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def build_vocabulary_sql(
+    src: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    top_k: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`build_vocabulary` (same tokenizer, same
+    deterministic tie-break; counts cast to BIGINT to match Spark)."""
+    t_sql, w_sql = norm_tokens_sql(text_col)
+    return f"""
+SELECT token,
+       count(*)::BIGINT AS term_freq,
+       count(DISTINCT __id)::BIGINT AS doc_freq
+FROM (SELECT {id_col} AS __id, unnest({w_sql}) AS token
+      FROM {src} WHERE {t_sql} <> '')
+GROUP BY token
+HAVING count(DISTINCT __id) >= {int(min_df)}
+ORDER BY term_freq DESC, token ASC
+LIMIT {int(top_k)}
+"""

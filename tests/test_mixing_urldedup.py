@@ -290,3 +290,39 @@ def test_pack_sequences_sql_mirror_parity(spark, duck, tmp_path):
         f"SELECT {', '.join(cols)} FROM ({sql})"
     ).fetchall()))
     assert spark_rows == duck_rows
+
+
+# ------------------------------------------------------------------
+# vocabulary builder (q94)
+# ------------------------------------------------------------------
+
+
+def test_build_vocabulary_counts_and_cut(spark):
+    from featurewiz_spark.text.tfidf import build_vocabulary
+
+    rows = [
+        (0, "alpha beta alpha gamma"),
+        (1, "alpha beta beta"),
+        (2, "gamma delta"),
+        (3, None),
+        (4, "epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    vocab = {
+        r["token"]: (r["term_freq"], r["doc_freq"])
+        for r in build_vocabulary(df, min_df=1, top_k=100).collect()
+    }
+    assert vocab["alpha"] == (3, 2)
+    assert vocab["beta"] == (3, 2)
+    assert vocab["gamma"] == (2, 2)
+    assert vocab["delta"] == (1, 1) and vocab["epsilon"] == (1, 1)
+    # min_df prunes the singletons
+    v2 = {r["token"] for r in build_vocabulary(df, min_df=2, top_k=100).collect()}
+    assert v2 == {"alpha", "beta", "gamma"}
+    # top_k cut uses the (tf DESC, token ASC) tie-break: alpha and beta
+    # tie at tf=3 -> k=1 must pick 'alpha'
+    top1 = build_vocabulary(df, min_df=1, top_k=1).collect()
+    assert len(top1) == 1 and top1[0]["token"] == "alpha"
+    # distributed top-k, not a global-sort window
+    plan = build_vocabulary(df, top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
