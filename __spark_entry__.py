@@ -1528,6 +1528,27 @@ def _q94_build_vocabulary(spark, sf):
     return build_vocabulary(docs, min_df=2, top_k=100)
 
 
+def _q95_snapshot_churn(spark, sf):
+    """Common-Crawl refresh churn (text/segments.py::snapshot_churn):
+    documents mapped to a (entity = id%100, version = id//100) snapshot
+    history; per snapshot, distinct-token added/removed counts and
+    Jaccard drift vs the previous crawl — ONE shuffle, one shared lag
+    window, set arithmetic in codegen."""
+    from featurewiz_spark.text.segments import snapshot_churn
+
+    docs = _tp(spark, sf, "documents")
+    snaps = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 100).alias("entity"),
+        F.floor(F.col("doc_id") / 100).cast("long").alias("version"),
+        "text",
+    )
+    return snapshot_churn(snaps, "entity", "version").select(
+        "doc_id", "entity", "version",
+        "churn_added", "churn_removed", "churn_jaccard",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1624,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_web_curation": _q92_web_curation,
         "q93_pack_sequences": _q93_pack_sequences,
         "q94_build_vocabulary": _q94_build_vocabulary,
+        "q95_snapshot_churn": _q95_snapshot_churn,
     }
 
 
@@ -2710,6 +2732,7 @@ def _generated_oracles() -> dict[str, str]:
     from featurewiz_spark.text.segments import (
         duplicate_segment_filter_sql,
         repetition_signals_sql,
+        snapshot_churn_sql,
     )
     from featurewiz_spark.text.urls import url_features_sql
 
@@ -2883,6 +2906,11 @@ def _generated_oracles() -> dict[str, str]:
         ),
         "q94_build_vocabulary": build_vocabulary_sql(
             "documents", min_df=2, top_k=100
+        ),
+        "q95_snapshot_churn": snapshot_churn_sql(
+            "(SELECT doc_id, doc_id % 100 AS entity,"
+            " doc_id // 100 AS version, text FROM documents) __snaps",
+            "entity", "version",
         ),
         # q90: same deterministic messy-URL injection as the Spark side,
         # canonical form via the GENERATED url_norm expression, survivor

@@ -383,3 +383,103 @@ SELECT d.{id_col},
        {topcols}
 FROM {src} d LEFT JOIN __rep_piv p USING ({id_col})
 """
+
+
+def snapshot_churn(
+    df: DataFrame,
+    entity_col: str,
+    version_col: str,
+    text_col: str = "text",
+    rounding: int = 6,
+) -> DataFrame:
+    """Cross-snapshot content churn — the Common-Crawl refresh
+    question: per (entity, version), how much of the page's token SET
+    changed versus the previous snapshot. Appends ``churn_added`` /
+    ``churn_removed`` (distinct tokens gained/lost), and
+    ``churn_jaccard`` (distinct-token Jaccard vs the previous
+    snapshot, rounded); the first snapshot of an entity gets NULLs.
+
+    Plan: ONE shuffle (hash partition by entity) + ONE sort shared by
+    the single lag window; the set arithmetic is array_distinct /
+    array_except / array_intersect on the token arrays — pure JVM
+    codegen riding the window's projection. Window partition =
+    one entity's snapshot history (bounded by crawl cadence, never a
+    corpus-scale hot key).
+    """
+    from pyspark.sql import Window
+
+    from featurewiz_spark.text._norm import norm_tokens
+
+    for c in ("churn_added", "churn_removed", "churn_jaccard"):
+        if c in df.columns:
+            raise ValueError(f"snapshot_churn: column {c!r} exists")
+    _, toks = norm_tokens(text_col)
+    w = Window.partitionBy(entity_col).orderBy(F.col(version_col))
+    cur = F.array_distinct(toks)
+    prev = F.lag(cur).over(w)
+    return (
+        df.withColumn("__cur", cur)
+        .withColumn("__prev", prev)
+        .withColumns(
+            {
+                "churn_added": F.size(
+                    F.array_except(F.col("__cur"), F.col("__prev"))
+                ),
+                "churn_removed": F.size(
+                    F.array_except(F.col("__prev"), F.col("__cur"))
+                ),
+                "churn_jaccard": F.round(
+                    F.size(F.array_intersect(F.col("__cur"), F.col("__prev")))
+                    / F.greatest(
+                        F.size(F.array_union(F.col("__cur"), F.col("__prev"))),
+                        F.lit(1),
+                    ),
+                    rounding,
+                ),
+            }
+        )
+        .drop("__cur", "__prev")
+    )
+
+
+def snapshot_churn_sql(
+    src: str,
+    entity_col: str,
+    version_col: str,
+    text_col: str = "text",
+    id_cols: str = "doc_id",
+    rounding: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`snapshot_churn` — full SELECT returning
+    (id_cols, entity, version, churn columns); same shared tokenizer,
+    distinct-set arithmetic via list_distinct/list_filter."""
+    from featurewiz_spark.text._norm import norm_tokens_sql
+
+    t_sql, w_sql = norm_tokens_sql(text_col)
+    return f"""
+WITH __sc AS (
+    SELECT {id_cols}, {entity_col}, {version_col},
+           CASE WHEN {text_col} IS NULL OR {t_sql} = ''
+                THEN []::VARCHAR[]
+                ELSE list_distinct({w_sql}) END AS cur
+    FROM {src}),
+__sc2 AS (
+    SELECT *, lag(cur) OVER (
+        PARTITION BY {entity_col} ORDER BY {version_col}) AS prev
+    FROM __sc)
+SELECT {id_cols}, {entity_col}, {version_col},
+       -- prev IS NULL (first snapshot): Spark's set ops propagate the
+       -- NULL array to NULL sizes; DuckDB's list_contains(NULL, t)
+       -- lambda would silently yield 0 instead — pin NULL explicitly
+       CASE WHEN prev IS NULL THEN NULL ELSE
+       CAST(len(list_filter(cur, t -> NOT list_contains(prev, t))) AS INT)
+       END AS churn_added,
+       CASE WHEN prev IS NULL THEN NULL ELSE
+       CAST(len(list_filter(prev, t -> NOT list_contains(cur, t))) AS INT)
+       END AS churn_removed,
+       CASE WHEN prev IS NULL THEN NULL ELSE
+       round(1.0 * len(list_filter(cur, t -> list_contains(prev, t)))
+             / greatest(len(list_distinct(cur || prev)), 1), {rounding})
+       END AS churn_jaccard
+FROM __sc2
+"""

@@ -191,3 +191,73 @@ class TestUrls:
         r = add_url_features(df).collect()[0]
         assert r["url_domain"] == "localhost"
         assert r["url_depth"] == 1
+
+
+# ------------------------------------------------------------------
+# snapshot churn (q95)
+# ------------------------------------------------------------------
+
+
+def test_snapshot_churn_known_answer(spark):
+    from featurewiz_spark.text.segments import snapshot_churn
+
+    rows = [
+        (0, 10, 0, "alpha beta gamma"),
+        (1, 10, 1, "alpha beta delta epsilon"),   # +delta,epsilon -gamma
+        (2, 10, 2, "alpha beta delta epsilon"),   # unchanged
+        (3, 10, 3, None),                         # page vanished
+        (4, 20, 0, "solo page here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, entity: long, version: int, text: string"
+    )
+    out = {
+        r["doc_id"]: (r["churn_added"], r["churn_removed"], r["churn_jaccard"])
+        for r in snapshot_churn(df, "entity", "version").collect()
+    }
+    assert out[0] == (None, None, None)           # first snapshot
+    assert out[1] == (2, 1, 0.4)                  # |∩|=2, |∪|=5
+    assert out[2] == (0, 0, 1.0)
+    assert out[3] == (0, 4, 0.0)                  # all tokens removed
+    assert out[4] == (None, None, None)
+
+
+def test_snapshot_churn_sql_mirror_parity(spark, duck, tmp_path):
+    from featurewiz_spark.text.segments import snapshot_churn, snapshot_churn_sql
+
+    rows = [
+        (i, i % 7, i // 7,
+         None if i % 11 == 0 else " ".join(
+             f"w{(i * 13 + j) % 23}" for j in range(i % 9 + 1)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, entity: long, version: long, text: string"
+    )
+    p = str(tmp_path / "snaps.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    cols = ["doc_id", "entity", "version",
+            "churn_added", "churn_removed", "churn_jaccard"]
+    spark_rows = sorted(
+        map(tuple, snapshot_churn(df, "entity", "version")
+            .select(*cols).collect())
+    )
+    duck.sql(f"CREATE VIEW snaps AS SELECT * FROM '{p}/*.parquet'")
+    sql = snapshot_churn_sql("snaps", "entity", "version")
+    duck_rows = sorted(map(tuple, duck.sql(
+        f"SELECT {', '.join(cols)} FROM ({sql})"
+    ).fetchall()))
+    assert spark_rows == duck_rows
+
+
+def test_snapshot_churn_clash_raises(spark):
+    import pytest as _pytest
+
+    from featurewiz_spark.text.segments import snapshot_churn
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "x", 0)],
+        "doc_id: long, entity: long, version: int, text: string, churn_added: int",
+    )
+    with _pytest.raises(ValueError, match="churn_added"):
+        snapshot_churn(df, "entity", "version")
