@@ -1671,7 +1671,7 @@ def oracle_sql() -> dict[str, str]:
     q32_sql = f"""
             WITH tk AS (
                 SELECT doc_id,
-                       unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+                       unnest(list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'))) AS tok
                 FROM documents
             ),
             h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tk),
@@ -1891,7 +1891,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "q20_exact_dedup": """
-            SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+            SELECT md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS content_hash,
                    min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents
             GROUP BY 1
@@ -1899,26 +1899,26 @@ def oracle_sql() -> dict[str, str]:
         "q21_text_quality": """
             SELECT doc_id,
                    length(text) AS q_n_chars,
-                   len(string_split_regex(text, '\\s+')) AS q_n_words,
-                   round((length(text) - len(string_split_regex(text, '\\s+')) + 1)
-                         / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len,
+                   len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS q_n_words,
+                   round((length(text) - len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) + 1)
+                         / greatest(len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')), 1), 6) AS mean_word_len,
                    round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(list_filter(
-                           list_transform(string_split_regex(text, '\\s+'), x -> lower(x)),
+                           list_transform(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> lower(x)),
                            x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
-                         / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS stopword_ratio
+                         / greatest(len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')), 1), 6) AS stopword_ratio
             FROM documents
         """,
         "q22_token_counts": """
             SELECT doc_id,
-                   len(string_split_regex(text, '\\s+')) AS tok_ws,
+                   len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS tok_ws,
                    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS tok_regex
             FROM documents
         """,
         "q23_fingerprint": """
             SELECT doc_id,
-                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
+                   md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_md5
             FROM documents
         """,
         "q24_split_field": """
@@ -1955,7 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_jaccard_consecutive": """
             WITH toks AS (SELECT doc_id,
                                  list_distinct(list_transform(
-                                     string_split_regex(text, '\\s+'),
+                                     string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                      x -> lower(x))) AS t
                           FROM documents)
             SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1987,7 +1987,7 @@ def oracle_sql() -> dict[str, str]:
         # argument (measured J-gap: qualifying pairs ≈0.98, next <0.3).
         "q31_minhash_lsh": r"""
             WITH tk AS (
-                SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
                 FROM documents
             ),
             sh AS (
@@ -2399,11 +2399,11 @@ def oracle_sql() -> dict[str, str]:
             WITH kept AS (
                 SELECT * FROM documents
                 QUALIFY row_number() OVER (
-                    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                    PARTITION BY md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                     ORDER BY doc_id) = 1
             ), q AS (
                 SELECT doc_id, text,
-                       len(string_split_regex(text, '\\s+')) AS q_n_words,
+                       len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS q_n_words,
                        (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
                          / greatest(length(text), 1) AS pr
                 FROM kept
@@ -2413,7 +2413,7 @@ def oracle_sql() -> dict[str, str]:
             ), {_langid_f}
             SELECT f.doc_id, f.q_n_words,
               coalesce(b.lang_pred, 'unknown') AS lang_pred,
-              md5(lower(regexp_replace(f.text, '\\s+', ' ', 'g'))) AS fp_md5
+              md5(lower(regexp_replace(f.text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_md5
             FROM f LEFT JOIN __lang_best b USING (doc_id)
         """,
         "q63_glmm_encode": """
@@ -2717,7 +2717,7 @@ def oracle_sql() -> dict[str, str]:
         # the 'g' flag, md5 hex strings agree byte-for-byte
         "q74_stream_exact_dedup": """
             SELECT DISTINCT
-                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                   md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                      AS content_hash
             FROM documents
         """,
@@ -2853,7 +2853,7 @@ def _generated_oracles() -> dict[str, str]:
         # this is a strict recomputation of the iterative Spark result
         "q85_dedup_clusters": r"""
             WITH RECURSIVE tk AS (
-                SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS t
                 FROM documents
             ),
             sh AS (
@@ -2943,7 +2943,7 @@ def _generated_oracles() -> dict[str, str]:
             WITH __wc_dedup AS (
                 SELECT * FROM documents
                 QUALIFY row_number() OVER (
-                    PARTITION BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+                    PARTITION BY md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                     ORDER BY doc_id) = 1),
             __wc_lm AS (
                 SELECT d.*, s.lm_bits_per_token

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from featurewiz_spark.text._norm import WS_CLASS
+
 from featurewiz_spark.cache import scoped_persist
 
 
@@ -39,7 +41,7 @@ def exact_dedup(
     df = _spread(df, partitions)
     t = F.col(text_col)
     if normalize:
-        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+        t = F.lower(F.regexp_replace(t, WS_CLASS, " "))
     return (
         df.withColumn("__h", F.md5(t))
         .groupBy(F.col("__h").alias("content_hash"))
@@ -52,7 +54,7 @@ def exact_dedup(
 
 def _shingles(text_col: str, k: int = 3):
     """Word k-shingles as an array column (distinct)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), WS_CLASS)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
@@ -82,7 +84,7 @@ def minhash_signatures(
     The k minhash functions derive from the base hash by re-hashing
     with per-function seeds (cheap; avoids k passes over the text)."""
     df = _spread(df, partitions)
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), WS_CLASS)
     # separate projection: the token-hash array is evaluated ONCE per
     # row; referencing the transform expression inline inside the
     # shingle lambda would re-hash every token per shingle (O(w²·k))
@@ -227,7 +229,7 @@ def simhash(
     if hash_family == "md5_60" and bits > 60:
         raise ValueError("md5_60 provides 60 bits; use bits <= 60")
     df = _spread(df, partitions)
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), WS_CLASS))
     h = (
         F.xxhash64("tok")
         if hash_family == "xxhash64"
@@ -274,7 +276,7 @@ def jaccard_pairs(
     sets = (
         _shingles(text_col, shingle_k)
         if shingle_k is not None
-        else F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        else F.array_distinct(F.split(F.lower(F.col(text_col)), WS_CLASS))
     )
     src = df
     if restrict_to_pairs:

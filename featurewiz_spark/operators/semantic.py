@@ -104,10 +104,14 @@ def assign_to_seeds(
     mirror's ``ORDER BY cos DESC, cluster ASC``). Pure projection —
     max over struct(cos, -index) rides whole-stage codegen; no
     shuffle, no UDF."""
+    # cosines rounded to 9 dp before the argmax (mirror rounds the
+    # same): the two engines' dot products differ by ULPs, and an
+    # unrounded max could flip between near-equidistant seeds; after
+    # rounding, exact ties resolve by the shared smallest-index rule
     cands = F.array(
         *[
             F.struct(
-                _cosine_to_seed(vec_col, s).alias("c"),
+                F.round(_cosine_to_seed(vec_col, s), 9).alias("c"),
                 F.lit(-i).alias("ni"),
             )
             for i, s in enumerate(seeds)
@@ -135,7 +139,11 @@ def semantic_dedup(
     cells) instead of the built-in seeded Voronoi assignment.
     ``max_cluster_size``: clusters larger than this skip the pair
     search (all members kept) — an explicit coverage cap, logged in
-    the plan rather than a silent straggler."""
+    the plan rather than a silent straggler.
+
+    Zero-norm embeddings are degenerate (cosine undefined — the kernel
+    guards the division, the engines' NaN orderings differ): exclude
+    them upstream."""
     if cluster_col is None:
         seeds = seed_vectors(df, id_col, vec_col, n_clusters)
         assigned = assign_to_seeds(df, seeds, vec_col, "cluster")
@@ -162,17 +170,21 @@ def semantic_dedup(
             )
             bs = min(_BLOCK_ROWS, n)
             buf = np.empty((bs, n), dtype=np.float64)
-            cols = np.arange(n)
+            ids_arr = pdf[id_col].to_numpy()
             for s in range(0, n, bs):
                 e = min(s + bs, n)
                 blk = buf[: e - s]
                 np.matmul(Mn[s:e], Mn.T, out=blk)
-                # row at global index g is a dup iff ANY column j < g
-                # reaches the threshold — ids are sorted, so "smaller
-                # id" is exactly "earlier column" (strict lower
-                # triangle mask, vectorized over the block)
-                mask = cols[None, :] < np.arange(s, e)[:, None]
-                keep[s:e] &= ~((blk >= thr) & mask).any(axis=1)
+                # row g is a dup iff ANY row with a STRICTLY SMALLER id
+                # reaches the threshold — compare ids, not positions,
+                # so a duplicated id keeps both copies exactly like the
+                # mirror's `y.id < x.id` EXISTS. Cosines are rounded to
+                # 9 dp before the compare (the SQL rounds identically):
+                # numpy's GEMM and DuckDB's sequential fold differ by
+                # ULPs, and an unrounded threshold could flip at the
+                # edge.
+                mask = ids_arr[None, :] < ids_arr[s:e, None]
+                keep[s:e] &= ~((np.round(blk, 9) >= thr) & mask).any(axis=1)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].astype("int64"),
@@ -214,8 +226,8 @@ __sd_assign AS (
     SELECT a.{id_col}, a.{vec_col}, s.cluster,
            row_number() OVER (
                PARTITION BY a.{id_col}
-               ORDER BY list_cosine_similarity(
-                   a.{vec_col}::DOUBLE[], s.semb::DOUBLE[]) DESC,
+               ORDER BY round(list_cosine_similarity(
+                   a.{vec_col}::DOUBLE[], s.semb::DOUBLE[]), 9) DESC,
                s.cluster) AS rn
     FROM {src} a CROSS JOIN __sd_seeds s),
 __sd AS (
@@ -225,8 +237,9 @@ SELECT x.{id_col}, x.cluster::INT AS cluster,
        NOT EXISTS (
            SELECT 1 FROM __sd y
            WHERE y.cluster = x.cluster AND y.{id_col} < x.{id_col}
-             AND list_cosine_similarity(
-                     x.{vec_col}::DOUBLE[], y.{vec_col}::DOUBLE[]) >= {thr}
+             AND round(list_cosine_similarity(
+                     x.{vec_col}::DOUBLE[], y.{vec_col}::DOUBLE[]), 9)
+                 >= {thr}
        ) AS keep
 FROM __sd x
 """

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from featurewiz_spark.text._norm import WS_CLASS
+
 from featurewiz_spark.operators.asof import asof_join
 from featurewiz_spark.operators.timefeatures import add_calendar_features
 from featurewiz_spark.operators.windows import (
@@ -46,7 +48,7 @@ def pages_feature_pipeline(
     if extract:
         df = extract_text(df, "html", "extracted_text")
     df = df.withColumn("n_chars", F.length("text")).withColumn(
-        "n_words", F.size(F.split(F.col("text"), r"\s+"))
+        "n_words", F.size(F.split(F.col("text"), WS_CLASS))
     )
     df = lag_lead(df, "url", "warc_ts", "n_chars", lags=[1], leads=[1])
     df = rolling_agg(df, "url", "warc_ts", "n_chars", window_rows=7, aggs=["avg"])
@@ -95,7 +97,7 @@ def documents_curation_pipeline(
         add_quality_features,
     )
 
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.col(text_col), WS_CLASS, " "))
     d = (
         docs.groupBy(F.md5(norm).alias("__h"))
         .agg(F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("__r"))
@@ -222,12 +224,17 @@ def web_curation_pipeline(
     from featurewiz_spark.text.decontam import decontaminate
     from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
 
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.col(text_col), WS_CLASS, " "))
     d = (
         docs.groupBy(F.md5(norm).alias("__h"))
         .agg(F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("__r"))
         .select("__r.*")
     )
+    # persist BEFORE the LM: the dedup shuffle otherwise re-executes
+    # for the unigram-count action, the bigram table, and the scoring
+    # scan (the measured multi-consumer 3.8x recompute cache.py exists
+    # to prevent)
+    d = scoped_persist(d)
     uni, big = train_bigram_lm(d, text_col=text_col)
     d = add_lm_score(d, uni, big, text_col=text_col, id_col=id_col)
     d = d.filter(F.col("lm_bits_per_token") <= lm_threshold)
@@ -236,10 +243,16 @@ def web_curation_pipeline(
         mode="drop",
     )
     d = scoped_persist(d)
+    out_cols = [id_col, strata_col, "lm_bits_per_token", "mix_rate"]
+    if d.limit(1).count() == 0:
+        # every doc filtered out: the SQL mirror returns an empty
+        # result here, and so must we — temperature_mixing_sample
+        # would instead raise on an empty count table
+        return d.withColumn(
+            "mix_rate", F.lit(None).cast("double")
+        ).select(*out_cols)
     d = temperature_mixing_sample(
         d, strata_col, id_col, temperature=temperature,
         target_frac=target_frac,
     )
-    return d.filter(F.col("mix_keep")).select(
-        id_col, strata_col, "lm_bits_per_token", "mix_rate"
-    )
+    return d.filter(F.col("mix_keep")).select(*out_cols)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from featurewiz_spark.text._norm import WS_CLASS
 from pyspark.sql import types as T
 
 from featurewiz_spark.operators.timefeatures import add_calendar_features
@@ -107,7 +109,7 @@ def stream_exact_dedup(
     same hash — same emitted set, no state."""
     t = F.col(text_col)
     if normalize:
-        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+        t = F.lower(F.regexp_replace(t, WS_CLASS, " "))
     hashed = docs.withColumn("content_hash", F.md5(t))
     if not hashed.isStreaming:
         return hashed.dropDuplicates(["content_hash"])

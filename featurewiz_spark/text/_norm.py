@@ -58,3 +58,16 @@ def norm_tokens_sql(expr: str, lower: bool = True) -> tuple[str, str]:
     how the callers' generated SQL expresses the empty-array case."""
     t = norm_text_sql(expr, lower)
     return t, f"string_split({t}, ' ')"
+
+
+def h60(col):
+    """Portable 60-bit hash Column (identical integer in Spark and
+    DuckDB): first 15 hex chars of md5, parsed base-16. ONE definition —
+    this is the cross-engine join-key contract shared by the LM,
+    classifier, decontamination, mixing, and packing operators."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`h60` for a string SQL expr."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"

@@ -141,7 +141,8 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    for c in ("pack_shard", "n_tokens", "pack_id", "pack_offset"):
+    for c in ("pack_shard", "n_tokens", "pack_id", "pack_offset",
+              "__pk_start"):
         if c in docs.columns:
             raise ValueError(f"pack_sequences: column {c!r} exists")
     _, toks = norm_tokens(text_col)
@@ -160,11 +161,22 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return d.withColumn(
-        "pack_id",
-        (F.col("pack_shard").cast("long") * F.lit(1 << 40)
-         + F.floor(start / F.lit(budget))).cast("long"),
-    ).withColumn("pack_offset", F.pmod(start, F.lit(budget)).cast("long"))
+    # `div`, not floor(a/b): '/' is DOUBLE division, which silently
+    # loses integer precision once a shard's running token sum passes
+    # 2^53 — at 10^12-doc scale that is reachable; `div` stays exact
+    # BIGINT like the mirror's `//`
+    return (
+        d.withColumn("__pk_start", start)
+        .withColumn(
+            "pack_id",
+            F.col("pack_shard").cast("long") * F.lit(1 << 40)
+            + F.expr(f"__pk_start div {int(budget)}"),
+        )
+        .withColumn(
+            "pack_offset", F.pmod(F.col("__pk_start"), F.lit(budget)).cast("long")
+        )
+        .drop("__pk_start")
+    )
 
 
 def pack_sequences_sql(

@@ -47,16 +47,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurewiz_spark.cache import scoped_persist
-from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
+from featurewiz_spark.text._norm import (
+    h60,
+    h60_sql,
+    norm_tokens,
+    norm_tokens_sql,
+)
 
 
 def _tokens(text_col: str):
     return norm_tokens(text_col)[1]
 
 
-def _h60(col):
-    """Portable 60-bit hash (identical integer in Spark and DuckDB)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+_h60 = h60  # shared cross-engine definition (text/_norm.py)
 
 
 def train_quality_classifier(
@@ -182,7 +185,6 @@ def quality_score_sql(
     kf = float(k)
     _, w_sql = norm_tokens_sql(text_col)
     t_sql, _ = norm_tokens_sql(text_col)
-    h = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
     return f"""
 WITH __qc_train AS (
     SELECT ({label_expr})::INT AS y,
@@ -192,7 +194,7 @@ __qc_docs AS (
     SELECT {id_col}, {w_sql} AS w, {t_sql} AS t
     FROM {docs_src}),
 __qc_model AS (
-    SELECT {h.format(x="tok")} AS tok_h,
+    SELECT {h60_sql("tok")} AS tok_h,
            sum(y) AS c_pos, sum(1 - y) AS c_neg
     FROM (SELECT y, unnest(w) AS tok FROM __qc_train WHERE t <> '')
     GROUP BY 1),
@@ -205,7 +207,7 @@ __qc_prior AS (
     SELECT ln(sum(y)::DOUBLE / sum(1 - y)) AS prior
     FROM __qc_train),
 __qc_pairs AS (
-    SELECT {id_col}, {h.format(x="tok")} AS tok_h
+    SELECT {id_col}, {h60_sql("tok")} AS tok_h
     FROM (SELECT {id_col}, unnest(w) AS tok
           FROM __qc_docs WHERE t <> '')),
 __qc_scored AS (

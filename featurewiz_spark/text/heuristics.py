@@ -42,11 +42,14 @@ from pyspark.sql import functions as F
 from featurewiz_spark.text._norm import WS_CLASS, norm_tokens, norm_tokens_sql
 
 # byte-identical pattern texts for both engines (RE2-compatible: no
-# lookaround, explicit classes)
+# lookaround, explicit classes). End anchors are \z, NOT $: Java's $
+# matches BEFORE a final line terminator (\r, ,  ,  )
+# while RE2's $ matches only at end-of-string, so 'line.\r' would keep
+# in Spark and drop in the oracle; \z is strict end-of-text in both.
 LINE_SPLIT_RE = r"\r?\n"
-TERMINAL_RE = r"[.!?\"]$"
+TERMINAL_RE = "[.!?\"]\\z"
 BULLET_RE = r"^[-*•‣▪]"
-ELLIPSIS_RE = r"(\.\.\.|…)$"
+ELLIPSIS_RE = "(\\.\\.\\.|…)\\z"
 SYMBOL_CLASS = r"[#…]"
 ALPHA_RE = r"\p{L}"
 

@@ -44,16 +44,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featurewiz_spark.cache import scoped_persist
-from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
+from featurewiz_spark.text._norm import (
+    h60,
+    h60_sql,
+    norm_tokens,
+    norm_tokens_sql,
+)
 
 
 def _tokens(text_col: str):
     return norm_tokens(text_col)[1]
 
 
-def _h60(col):
-    """Portable 60-bit hash (identical integer in Spark and DuckDB)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+_h60 = h60  # shared cross-engine definition (text/_norm.py)
 
 
 def _bigrams(toks):
@@ -174,16 +177,15 @@ def lm_score_sql(
            {t_sql} AS t
     FROM {src})"""
 
-    h = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
     return f"""
 WITH {toks_cte(train_src, "__lm_train", "1 AS one")},
 {toks_cte(docs_src, "__lm_docs", id_col)},
 __lm_uni AS (
-    SELECT {h.format(x="tok")} AS tok_h, count(*) AS c_tok
+    SELECT {h60_sql("tok")} AS tok_h, count(*) AS c_tok
     FROM (SELECT unnest(w) AS tok FROM __lm_train WHERE t <> '')
     GROUP BY 1),
 __lm_big AS (
-    SELECT {h.format(x="big")} AS big_h, count(*) AS c_big
+    SELECT {h60_sql("big")} AS big_h, count(*) AS c_big
     FROM (SELECT w[i] || ' ' || w[i+1] AS big
           FROM __lm_train, LATERAL unnest(generate_series(1, len(w)-1)) AS g(i)
           WHERE t <> '' AND len(w) >= 2)
@@ -191,8 +193,8 @@ __lm_big AS (
 __lm_v AS (SELECT count(*) + 1 AS v FROM __lm_uni),
 __lm_pairs AS (
     SELECT {id_col},
-           {h.format(x="w[i] || ' ' || w[i+1]")} AS big_h,
-           {h.format(x="w[i]")} AS tok_h
+           {h60_sql("w[i] || ' ' || w[i+1]")} AS big_h,
+           {h60_sql("w[i]")} AS tok_h
     FROM __lm_docs, LATERAL unnest(generate_series(1, len(w)-1)) AS g(i)
     WHERE t <> '' AND len(w) >= 2),
 __lm_scored AS (

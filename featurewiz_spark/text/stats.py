@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from featurewiz_spark.text._norm import WS_CLASS
+
 # small multilingual stopword lists for the n-gram/stopword-hit heuristic
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
@@ -32,7 +34,7 @@ def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     document scored ≤0.001 while a 20-word snippet scored 0.5 — the
     opposite of a quality signal."""
     t = F.col(text_col)
-    words = F.split(t, r"\s+")
+    words = F.split(t, WS_CLASS)
     n_chars = F.length(t)
     n_words = F.size(words)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
@@ -67,7 +69,7 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(
         {
-            "tok_ws": F.size(F.split(t, r"\s+")),
+            "tok_ws": F.size(F.split(t, WS_CLASS)),
             "tok_regex": F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0)),
         }
     )
@@ -98,7 +100,7 @@ def add_language_id_stopword(
     then to the greatest language code. Declarative: transform/array
     ops over a lowered token array. Kept as the zero-setup fallback and
     the baseline the accuracy probe (tools/langid_probe.py) beats."""
-    toks = F.transform(F.split(F.col(text_col), r"\s+"), lambda w: F.lower(w))
+    toks = F.transform(F.split(F.col(text_col), WS_CLASS), lambda w: F.lower(w))
     scores = []
     for lang, words in _STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
@@ -118,7 +120,7 @@ def add_language_id_stopword(
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowered text
     (content hash) + xxhash64 (fast 64-bit) — both JVM built-ins."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.col(text_col), WS_CLASS, " "))
     return df.withColumns(
         {
             "fp_md5": F.md5(norm),

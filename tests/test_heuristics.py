@@ -36,6 +36,12 @@ def _fixture_rows():
         (10, "Zwölf Boxkämpfer jagen Viktor quer über den Sylter Deich.\r\n"
              "Les élèves étudient la leçon avant le déjeuner chaque jour."),
         (11, "数据 管道 清洗 规则 测试 文本 页面 内容 样例 字符."),
+        # trailing \r with NO newline: Java's $ would match before it,
+        # RE2's would not — the \z anchors must make both engines drop
+        (12, "This line ends with a period then a stray CR.\r"),
+        # vertical tab: Java \s matches it, RE2 \s does not — the
+        # explicit WS_CLASS keeps tokenization identical
+        (13, "a\x0Bb word gap test ends here."),
     ]
     return rows
 
@@ -129,3 +135,8 @@ def test_sql_mirror_parity(spark, duck, tmp_path):
     assert len(spark_rows) == len(duck_rows)
     for s, d in zip(spark_rows, duck_rows):
         assert s == d, (s, d)
+
+
+def test_terminal_anchor_is_strict_end_of_text(filtered):
+    # the '.\r' line is the whole doc: \z rejects it in BOTH engines
+    assert filtered[12]["c4_n_kept_lines"] == 0

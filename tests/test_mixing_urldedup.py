@@ -326,3 +326,19 @@ def test_build_vocabulary_counts_and_cut(spark):
     # distributed top-k, not a global-sort window
     plan = build_vocabulary(df, top_k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "Window" not in plan
+
+
+def test_web_curation_pipeline_empty_survivors(spark):
+    """An lm_threshold below every score empties the corpus mid-chain:
+    the pipeline must return an empty frame of the output shape (the
+    SQL mirror's behavior), not raise from the mixing stage."""
+    from featurewiz_spark.plans.pipeline import web_curation_pipeline
+
+    docs = spark.createDataFrame(
+        [(0, "the data pipeline cleans text", "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    bench = spark.createDataFrame([("unrelated benchmark text",)], "text: string")
+    out = web_curation_pipeline(docs, bench, lm_threshold=-999.0)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "lm_bits_per_token", "mix_rate"]

@@ -271,3 +271,22 @@ def test_quality_classifier_train_score_split(spark):
         for r in add_quality_score(test, model, stats).collect()
     }
     assert out[7] is True and out[8] is False
+
+
+def test_semantic_dedup_duplicate_ids_keep_both(spark):
+    """The keep rule is `strictly smaller id` (matching the SQL
+    mirror's EXISTS), not `earlier position`: two rows sharing one id
+    must BOTH survive, surfacing the upstream data error instead of
+    silently masking it."""
+    from featurewiz_spark.operators.semantic import semantic_dedup
+
+    rows = [
+        (5, [1.0, 0.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 1e-6]),   # near-identical, same id
+        (9, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", n_clusters=1,
+                         threshold=0.95)
+    kept = [r["keep"] for r in out.collect()]
+    assert all(kept) and len(kept) == 3
