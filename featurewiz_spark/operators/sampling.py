@@ -210,13 +210,18 @@ def temperature_mixing_sql(
     temperature: float = 0.5,
     target_frac: float = 0.5,
     rounding: int = 9,
-    select_cols: str = "*",
+    select_cols: str = "d.*",
 ) -> str:
     """DuckDB mirror of :func:`temperature_mixing_sample` — recomputes
     the count table, the temperature weights (sqrt for T=0.5 — the
     correctly-rounded case — else pow), an ORDER BY-pinned normalizer
     sum matching the driver loop's sorted-stratum association, and the
-    same rounded rate + md5-coin decision."""
+    same rounded rate + md5-coin decision.
+
+    select_cols defaults to ``d.*`` (the data table's columns only) —
+    a bare ``*`` would expand over the LEFT JOIN to also pull the rate
+    table's ``s`` and ``mix_rate``, duplicating ``mix_rate`` in the
+    output shape."""
     pw = (
         f"sqrt(n)" if temperature == 0.5 else f"pow(n, {temperature!r})"
     )

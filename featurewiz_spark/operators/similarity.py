@@ -79,6 +79,7 @@ def brute_force_topk(
     k: int = 1,
     queries: DataFrame | None = None,
     exclude_self: bool = True,
+    max_corpus_rows: int | None = 500_000,
 ) -> DataFrame:
     """Cosine top-k neighbors for every query vector against the corpus.
 
@@ -87,7 +88,28 @@ def brute_force_topk(
     then one numpy matmul per Arrow batch of queries. Deterministic
     tie-break: higher similarity first, then smaller neighbor id.
     Returns (id, nn_id, rank, cos_sim).
+
+    This is the exact BASELINE kernel — the corpus matrix lives on the
+    driver, which is only sane for corpora that fit comfortably in
+    driver memory. max_corpus_rows guards the collect (one scan-only
+    count job, same pattern as label_encode's cardinality guard): above
+    the cap we raise and point to the distributed kernels instead of
+    OOMing the driver. Pass None to force (e.g. oracle runs on frames
+    known tiny). Scale paths: :func:`brute_force_topk_blocked`
+    (exact, cogrouped block-GEMM), :func:`ann_topk_lsh`,
+    :func:`ivf_topk`.
     """
+    if max_corpus_rows is not None:
+        n_corpus = df.select(id_col).limit(max_corpus_rows + 1).count()
+        if n_corpus > max_corpus_rows:
+            raise ValueError(
+                f"brute_force_topk: corpus exceeds max_corpus_rows="
+                f"{max_corpus_rows} ({n_corpus}+ rows). This baseline "
+                "collects the corpus matrix to the driver — use the "
+                "distributed kernels instead: brute_force_topk_blocked "
+                "(exact), ann_topk_lsh or ivf_topk (approximate). Pass "
+                "max_corpus_rows=None to force."
+            )
     corpus = df.select(id_col, vec_col).toPandas()
     ids = corpus[id_col].to_numpy()
     M = np.vstack(corpus[vec_col].to_numpy()).astype(np.float64)

@@ -244,11 +244,13 @@ def web_curation_pipeline(
     )
     d = scoped_persist(d)
     out_cols = [id_col, strata_col, "lm_bits_per_token", "mix_rate"]
-    if d.limit(1).count() == 0:
-        # every doc filtered out: the SQL mirror returns an empty
-        # result here, and so must we — temperature_mixing_sample
-        # would instead raise on an empty count table
-        return d.withColumn(
+    if d.where(F.col(strata_col).isNotNull()).limit(1).count() == 0:
+        # zero survivors, OR survivors whose strata are all NULL: the
+        # SQL mirror's count CTE is empty in both cases and the final
+        # `WHERE mix_keep` (NULL for NULL strata) returns no rows — so
+        # must we; temperature_mixing_sample would instead raise on an
+        # empty count table
+        return d.limit(0).withColumn(
             "mix_rate", F.lit(None).cast("double")
         ).select(*out_cols)
     d = temperature_mixing_sample(

@@ -391,6 +391,7 @@ def snapshot_churn(
     version_col: str,
     text_col: str = "text",
     rounding: int = 6,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Cross-snapshot content churn — the Common-Crawl refresh
     question: per (entity, version), how much of the page's token SET
@@ -405,6 +406,12 @@ def snapshot_churn(
     codegen riding the window's projection. Window partition =
     one entity's snapshot history (bounded by crawl cadence, never a
     corpus-scale hot key).
+
+    Determinism: the lag window orders by ``version_col`` alone, so
+    duplicate (entity, version) pairs make the previous-snapshot choice
+    partition-order-dependent. Either guarantee unique versions per
+    entity, or pass ``tiebreak_col`` (e.g. the id column) to pin the
+    order — the SQL mirror accepts the same knob.
     """
     from pyspark.sql import Window
 
@@ -414,7 +421,10 @@ def snapshot_churn(
         if c in df.columns:
             raise ValueError(f"snapshot_churn: column {c!r} exists")
     _, toks = norm_tokens(text_col)
-    w = Window.partitionBy(entity_col).orderBy(F.col(version_col))
+    order = [F.col(version_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
     cur = F.array_distinct(toks)
     prev = F.lag(cur).over(w)
     return (
@@ -449,6 +459,7 @@ def snapshot_churn_sql(
     text_col: str = "text",
     id_cols: str = "doc_id",
     rounding: int = 6,
+    tiebreak_col: str | None = None,
 ) -> str:
     """DuckDB mirror of :func:`snapshot_churn` — full SELECT returning
     (id_cols, entity, version, churn columns); same shared tokenizer,
@@ -465,7 +476,8 @@ WITH __sc AS (
     FROM {src}),
 __sc2 AS (
     SELECT *, lag(cur) OVER (
-        PARTITION BY {entity_col} ORDER BY {version_col}) AS prev
+        PARTITION BY {entity_col} ORDER BY {version_col}{
+            ", " + tiebreak_col if tiebreak_col is not None else ""}) AS prev
     FROM __sc)
 SELECT {id_cols}, {entity_col}, {version_col},
        -- prev IS NULL (first snapshot): Spark's set ops propagate the

@@ -192,9 +192,16 @@ def dedup_by_canonical_url(
     id_col makes the survivor deterministic even with duplicate
     order values. Output: ``canon_col`` + every input column (survivor
     row) + ``n_fetches``.
+
+    NULL order_col semantics (pinned by test): Spark's struct ordering
+    sorts a NULL field before every non-null value, so a row with NULL
+    ``order_col`` only survives when ALL fetches of its canonical URL
+    have NULL order (ties then broken by greatest ``id_col``). Mirrors
+    a ``row_number ... ORDER BY ord DESC NULLS LAST, id DESC`` oracle.
     """
-    if canon_col in df.columns:
-        raise ValueError(f"dedup_by_canonical_url: {canon_col!r} exists")
+    for c in (canon_col, "n_fetches"):
+        if c in df.columns:
+            raise ValueError(f"dedup_by_canonical_url: {c!r} exists")
     src_cols = df.columns
     with_canon = df.withColumn(canon_col, normalize_url(F.col(url_col), strip_www))
     return (
