@@ -1549,6 +1549,32 @@ def _q95_snapshot_churn(spark, sf):
     )
 
 
+def _q96_kendall_tau(spark, sf):
+    """A10 kendall (r5): |Kendall τ-b| (tie-adjusted) between the
+    purchase-event value / user / hour-of-day columns, computed with
+    Knight's O(n log n) mergesort-inversion algorithm on the
+    deterministic sample regime (limit set above the slice size, so
+    this is the full slice). The DuckDB oracle recomputes each τ from
+    FIRST PRINCIPLES — an O(n²) pairwise self-join counting concordant
+    and discordant pairs plus marginal tie terms — so the Knight
+    algebra (C−D = n0−n1−n2+n3−2·inversions) is verified against the
+    definition itself. Reference accepts kendall in correlation_types
+    (/root/reference/featurewiz/sulov_method.py:107-110)."""
+    from featurewiz_spark.selection.sulov import kendall_matrix_sampled
+
+    ev = (
+        _t(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("value", "user_id", F.hour("ts").alias("hr"))
+    )
+    m = kendall_matrix_sampled(ev, ["value", "user_id", "hr"], sample_rows=1_000_000)
+    rows = [
+        (a, b, round(float(m.loc[a, b]), 6))
+        for a, b in (("value", "user_id"), ("value", "hr"), ("user_id", "hr"))
+    ]
+    return spark.createDataFrame(rows, "col_x string, col_y string, abs_tau double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1646,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_pack_sequences": _q93_pack_sequences,
         "q94_build_vocabulary": _q94_build_vocabulary,
         "q95_snapshot_churn": _q95_snapshot_churn,
+        "q96_kendall_tau": _q96_kendall_tau,
     }
 
 
@@ -2972,6 +2999,55 @@ def _generated_oracles() -> dict[str, str]:
             FROM events p
             JOIN iv ON p.user_id % 25 = iv.shard
                    AND iv.s <= p.ts AND p.ts < iv.e
+        """,
+        # q96: τ-b from the DEFINITION — O(n²) self-join counts
+        # concordant/discordant pairs, marginal GROUP BYs the tie terms;
+        # verifies the engine's Knight mergesort-inversion identity
+        # C−D = n0−n1−n2+n3−2·inv. Denominator mirrors the engine's
+        # float algebra exactly: (n0−tx)::DOUBLE * (n0−ty)::DOUBLE, one
+        # sqrt, one divide — all integer-valued doubles < 2^53.
+        "q96_kendall_tau": """
+            WITH e AS (
+                SELECT coalesce(value, 0.0) AS v,
+                       coalesce(user_id, 0) AS u,
+                       coalesce(hour(ts), 0) AS h,
+                       row_number() OVER (ORDER BY event_id) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ),
+            cd AS (
+                SELECT
+                    sum(((a.v < b.v AND a.u < b.u) OR (a.v > b.v AND a.u > b.u))::BIGINT) AS c_vu,
+                    sum(((a.v < b.v AND a.u > b.u) OR (a.v > b.v AND a.u < b.u))::BIGINT) AS d_vu,
+                    sum(((a.v < b.v AND a.h < b.h) OR (a.v > b.v AND a.h > b.h))::BIGINT) AS c_vh,
+                    sum(((a.v < b.v AND a.h > b.h) OR (a.v > b.v AND a.h < b.h))::BIGINT) AS d_vh,
+                    sum(((a.u < b.u AND a.h < b.h) OR (a.u > b.u AND a.h > b.h))::BIGINT) AS c_uh,
+                    sum(((a.u < b.u AND a.h > b.h) OR (a.u > b.u AND a.h < b.h))::BIGINT) AS d_uh
+                FROM e a JOIN e b ON a.rn < b.rn
+            ),
+            ties AS (
+                SELECT (SELECT count(*) FROM e) AS n,
+                       (SELECT sum(c * (c - 1) // 2) FROM
+                            (SELECT count(*) AS c FROM e GROUP BY v)) AS tv,
+                       (SELECT sum(c * (c - 1) // 2) FROM
+                            (SELECT count(*) AS c FROM e GROUP BY u)) AS tu,
+                       (SELECT sum(c * (c - 1) // 2) FROM
+                            (SELECT count(*) AS c FROM e GROUP BY h)) AS th
+            ),
+            base AS (SELECT *, n * (n - 1) // 2 AS n0 FROM ties)
+            SELECT 'value' AS col_x, 'user_id' AS col_y,
+                   round(abs((c_vu - d_vu)::DOUBLE /
+                         sqrt((n0 - tv)::DOUBLE * (n0 - tu)::DOUBLE)), 6) AS abs_tau
+            FROM cd, base
+            UNION ALL
+            SELECT 'value', 'hr',
+                   round(abs((c_vh - d_vh)::DOUBLE /
+                         sqrt((n0 - tv)::DOUBLE * (n0 - th)::DOUBLE)), 6)
+            FROM cd, base
+            UNION ALL
+            SELECT 'user_id', 'hr',
+                   round(abs((c_uh - d_uh)::DOUBLE /
+                         sqrt((n0 - tu)::DOUBLE * (n0 - th)::DOUBLE)), 6)
+            FROM cd, base
         """,
     }
 

@@ -164,10 +164,220 @@ def _approx_rank_transform(
     return out
 
 
-def correlation_matrix(
-    df: DataFrame, cols: list[str], method: str = "pearson"
+def _merge_count_inversions(a: np.ndarray) -> int:
+    """Count pairs i<j with a[i] > a[j] (STRICT — ties are not
+    inversions) via bottom-up vectorized mergesort. Each level merges
+    adjacent sorted runs with two searchsorted calls; ~n block merges
+    total across all levels, each O(width) numpy work."""
+    arr = np.asarray(a, dtype=np.float64).copy()
+    n = len(arr)
+    inv = 0
+    w = 1
+    while w < n:
+        for lo in range(0, n - w, 2 * w):
+            mid = lo + w
+            hi = min(lo + 2 * w, n)
+            left = arr[lo:mid]
+            right = arr[mid:hi]
+            # per right element: # left elements strictly greater
+            pos = np.searchsorted(left, right, side="right")
+            inv += int((len(left) - pos).sum())
+            # stable merge: left-before-equal-right placement
+            lpos = np.searchsorted(right, left, side="left")
+            merged = np.empty(hi - lo, dtype=arr.dtype)
+            merged[np.arange(len(left)) + lpos] = left
+            merged[np.arange(len(right)) + pos] = right
+            arr[lo:hi] = merged
+        w *= 2
+    return inv
+
+
+def _tie_term(sorted_v: np.ndarray) -> int:
+    """Σ t(t−1)/2 over runs of equal values in an already-sorted array."""
+    if len(sorted_v) == 0:
+        return 0
+    change = np.flatnonzero(sorted_v[1:] != sorted_v[:-1])
+    starts = np.concatenate(([0], change + 1))
+    runs = np.diff(np.concatenate((starts, [len(sorted_v)])))
+    return int((runs * (runs - 1) // 2).sum())
+
+
+def _kendall_tau_b(x: np.ndarray, y: np.ndarray) -> float:
+    """Kendall τ-b (tie-adjusted, the scipy.stats.kendalltau default
+    pandas delegates to) via Knight's O(n log n) algorithm:
+    sort by (x, y), count discordant pairs as strict inversions of y
+    (equal-x runs have y ascending, so they contribute none), then
+      C − D = n0 − n1 − n2 + n3 − 2·dis
+      τ-b   = (C − D) / sqrt((n0 − n1) · (n0 − n2))
+    with n0 = n(n−1)/2 and n1/n2/n3 the x/y/joint tie terms. The
+    denominator is ONE sqrt of the integer product (exact in float64 up
+    to 2^53) so an independent SQL oracle computing the same integers
+    reproduces the double bit-for-bit. Degenerate (constant) columns
+    return nan, matching scipy."""
+    perm = np.lexsort((y, x))
+    xs, ys = x[perm], y[perm]
+    n = len(xs)
+    n0 = n * (n - 1) // 2
+    n1 = _tie_term(xs)
+    n2 = _tie_term(np.sort(ys))
+    # joint ties: runs of equal (x, y) in the lexsorted order
+    both = np.flatnonzero((xs[1:] == xs[:-1]) & (ys[1:] == ys[:-1]))
+    n3 = 0
+    if len(both):
+        # each maximal streak of consecutive equal-neighbor flags of
+        # length L marks a run of L+1 equal (x, y) rows
+        for r in np.split(both, np.flatnonzero(np.diff(both) > 1) + 1):
+            t = len(r) + 1
+            n3 += t * (t - 1) // 2
+    dis = _merge_count_inversions(ys)
+    den = float((n0 - n1)) * float((n0 - n2))
+    if den <= 0:
+        return float("nan")
+    return (n0 - n1 - n2 + n3 - 2 * dis) / math.sqrt(den)
+
+
+def kendall_matrix_sampled(
+    df: DataFrame, cols: list[str], sample_rows: int = 10000
 ) -> pd.DataFrame:
-    """k×k |Pearson| (or Spearman) correlation via one distributed pass.
+    """k×k |Kendall τ-b| on a deterministic ≤sample_rows hash-ordered
+    sample — the SAME sampling regime the MI stage uses
+    (orderBy(xxhash64).limit), so results are partitioning- and
+    cluster-size-invariant. Exact τ-b needs all pairwise comparisons;
+    the reference computes it with pandas df.corr(method='kendall') on
+    the full frame (sulov_method.py:107-110), which is itself only
+    feasible driver-side — sampling is the concession the reference
+    already makes for MI at scale (featurewiz.py:1060-1068). NaNs are
+    filled with 0 first (reference fillna, sulov_method.py:96-99)."""
+    sampled = (
+        df.select(*cols).orderBy(F.xxhash64(*cols)).limit(sample_rows).toPandas()
+    )
+    X = np.nan_to_num(sampled.to_numpy(dtype=np.float64), nan=0.0)
+    k = len(cols)
+    out = np.eye(k)
+    for i, j in combinations(range(k), 2):
+        t = _kendall_tau_b(X[:, i], X[:, j])
+        out[i, j] = out[j, i] = t
+    return pd.DataFrame(np.abs(out), index=cols, columns=cols)
+
+
+def kendall_matrix_binned(
+    df: DataFrame, cols: list[str], n_bins: int = 64, rel_err: float = 1e-3
+) -> pd.DataFrame:
+    """Distributed |Kendall τ-b|: equal-frequency-bin every column
+    (ONE approxQuantile pass), then accumulate a B×B contingency table
+    per column pair in ONE mapInPandas pass (partials per partition,
+    driver combine — same shape as the Gram pass) and evaluate τ-b from
+    each table with suffix-sum concordance counts.
+
+    τ is invariant under strictly monotone maps, so binning's only
+    error is pairs that collapse INTO a bin (become ties) — O(1/B);
+    with B=64 the matrix matches exact τ-b to ~0.02 on continuous data,
+    ample for |corr|-threshold pruning. Never collects rows; driver and
+    executor state is pairs·B² counts (k=50, B=64 → ~40 MB), which is
+    why B defaults lower than the Spearman path's 256 bins.
+    NaNs are filled with 0 BEFORE binning (reference fillna)."""
+    k = len(cols)
+    filled = df.select(
+        *[
+            F.when(
+                F.col(c).isNull() | F.isnan(F.col(c).cast("double")), 0.0
+            ).otherwise(F.col(c).cast("double")).alias(c)
+            for c in cols
+        ]
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = dict(zip(cols, filled.stat.approxQuantile(cols, probs, rel_err)))
+    # dedupe edges; value -> bin via searchsorted(side='right')
+    uniq_edges = []
+    for c in cols:
+        u = []
+        for v in edges[c]:
+            if not u or v > u[-1]:
+                u.append(float(v))
+        uniq_edges.append(np.array(u, dtype=np.float64))
+    pairs = list(combinations(range(k), 2))
+    bins_per_col = [len(u) + 1 for u in uniq_edges]
+    schema = T.StructType(
+        [
+            T.StructField("p", T.IntegerType()),
+            T.StructField("tab", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def part(batches):
+        tabs = [
+            np.zeros((bins_per_col[i], bins_per_col[j]), dtype=np.int64)
+            for i, j in pairs
+        ]
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype=np.float64)
+            codes = np.empty(X.shape, dtype=np.int64)
+            for ci in range(k):
+                codes[:, ci] = np.searchsorted(
+                    uniq_edges[ci], X[:, ci], side="right"
+                )
+            for pi, (i, j) in enumerate(pairs):
+                np.add.at(tabs[pi], (codes[:, i], codes[:, j]), 1)
+        yield pd.DataFrame(
+            {"p": range(len(pairs)), "tab": [t.ravel().tolist() for t in tabs]}
+        )
+
+    rows = filled.mapInPandas(part, schema=schema).collect()
+    agg = {
+        pi: np.zeros(
+            (bins_per_col[i], bins_per_col[j]), dtype=np.int64
+        )
+        for pi, (i, j) in enumerate(pairs)
+    }
+    for r in rows:
+        i, j = pairs[r["p"]]
+        agg[r["p"]] += np.array(r["tab"], dtype=np.int64).reshape(
+            bins_per_col[i], bins_per_col[j]
+        )
+    out = np.eye(k)
+    for pi, (i, j) in enumerate(pairs):
+        out[i, j] = out[j, i] = _tau_b_from_contingency(agg[pi])
+    return pd.DataFrame(np.abs(out), index=cols, columns=cols)
+
+
+def _tau_b_from_contingency(N: np.ndarray) -> float:
+    """τ-b from a 2-D contingency table of (x-bin, y-bin) counts, bins
+    ordered ascending. C = Σ N[i,j]·(mass strictly greater in both),
+    D = Σ N[i,j]·(mass strictly greater in x, smaller in y); tie terms
+    from the marginals. O(B²) suffix cumsums."""
+    n = int(N.sum())
+    if n < 2:
+        return float("nan")
+    # suffix[i, j] = sum of N[i:, j:]
+    suffix = np.cumsum(np.cumsum(N[::-1, ::-1], axis=0), axis=1)[::-1, ::-1]
+    # strictly-greater-both mass for cell (i, j) = suffix[i+1, j+1]
+    gg = np.zeros_like(N)
+    gg[:-1, :-1] = suffix[1:, 1:]
+    # strictly greater in x, strictly smaller in y:
+    # prefix over y of suffix over x
+    sx = np.cumsum(N[::-1, :], axis=0)[::-1, :]  # sum of N[i:, j]
+    gl = np.zeros_like(N)
+    gl[:-1, 1:] = np.cumsum(sx[1:, :-1], axis=1)
+    C = int((N * gg).sum())
+    D = int((N * gl).sum())
+    n0 = n * (n - 1) // 2
+    rx = N.sum(axis=1)
+    ry = N.sum(axis=0)
+    n1 = int((rx * (rx - 1) // 2).sum())
+    n2 = int((ry * (ry - 1) // 2).sum())
+    den = float(n0 - n1) * float(n0 - n2)
+    if den <= 0:
+        return float("nan")
+    return (C - D) / math.sqrt(den)
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "pearson",
+    sample_rows: int = 10000,
+) -> pd.DataFrame:
+    """k×k |Pearson| (or Spearman / Kendall) correlation.
 
     Spearman = Pearson on per-column average ranks. method="spearman"
     uses quantile-ECDF midranks (one approxQuantile pass + a
@@ -179,9 +389,19 @@ def correlation_matrix(
     exact-as-default among the at-scale defects). pearson remains the
     reference default (sulov_method.py:86); "spearman_approx" is kept
     as an alias.
+
+    method="kendall" (reference accepts it in correlation_types,
+    sulov_method.py:107-110) = τ-b on a deterministic ≤sample_rows
+    hash-ordered sample (:func:`kendall_matrix_sampled` — the MI
+    stage's sampling regime); "kendall_binned" is the fully-distributed
+    contingency-table variant (:func:`kendall_matrix_binned`).
     """
     if method == "spearman":
         method = "spearman_approx"
+    if method in ("kendall", "kendall_sampled"):
+        return kendall_matrix_sampled(df, cols, sample_rows=sample_rows)
+    if method == "kendall_binned":
+        return kendall_matrix_binned(df, cols)
     if method == "spearman_exact":
         from pyspark.sql import Window
 
@@ -398,13 +618,20 @@ def sulov_select(
     problem_type: str = "Regression",
     mode: str = "pairwise",
     adaptive_threshold: bool = False,
-    method: str = "pearson",
+    method: str | list[str] = "pearson",
     relevance: str = "mi",
 ) -> list[str]:
     """Full SULOV: returns the selected column list (deterministic).
 
     corr_limit defaults: 0.70 functional API (featurewiz.py:389) /
     0.90 class API (featurewiz.py:2982) — caller picks.
+
+    method may be a LIST of correlation types (reference
+    correlation_types, sulov_method.py:107-136): a pair counts as
+    correlated if ANY requested matrix crosses the threshold, which is
+    exactly the elementwise max across the |corr| matrices — the same
+    combined matrix the reference's adaptive threshold percentiles
+    over (sulov_method.py:112-119).
 
     relevance: "mi" (default — the reference's mutual-information
     ranking, sulov_method.py:166-170) or "abs_corr" (|Pearson(c,
@@ -415,7 +642,10 @@ def sulov_select(
     """
     if len(cols) < 2:
         return list(cols)
-    corr = correlation_matrix(df, cols, method=method)
+    methods = [method] if isinstance(method, str) else list(method)
+    corr = correlation_matrix(df, cols, method=methods[0])
+    for m in methods[1:]:
+        corr = np.maximum(corr, correlation_matrix(df, cols, method=m))
     tri = [
         (corr.iloc[i, j], cols[i], cols[j])
         for i, j in combinations(range(len(cols)), 2)
@@ -437,7 +667,7 @@ def sulov_select(
     if relevance == "mi":
         mi = mutual_info(df, involved, target, problem_type)
     elif relevance == "abs_corr":
-        rc = correlation_matrix(df, involved + [target], method=method)
+        rc = correlation_matrix(df, involved + [target], method=methods[0])
         mi = {c: float(rc.loc[c, target]) for c in involved}
     else:
         raise ValueError(relevance)

@@ -310,3 +310,148 @@ def test_spark_gbt_large_magnitude_target(spark):
         df.repartition(11), ["a", "b"], "y").feature_importances()
     assert np.array_equal(g5, g11)
     assert g5[0] > g5[1]
+
+
+# ------------------------------------------------------------------
+# Kendall τ-b (r5): Knight O(n log n) vs the O(n²) definition
+# ------------------------------------------------------------------
+
+
+def _brute_tau_b(x, y):
+    """τ-b straight from the definition: all-pairs concordance counts
+    with tie-adjusted denominator. (No scipy in this env; pandas
+    corr(method='kendall') delegates to scipy — this brute force IS
+    the independent ground truth, correct by construction.)"""
+    import math
+
+    n = len(x)
+    C = D = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = int(x[i] > x[j]) - int(x[i] < x[j])
+            dy = int(y[i] > y[j]) - int(y[i] < y[j])
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+            if dx != 0 and dy != 0:
+                if dx == dy:
+                    C += 1
+                else:
+                    D += 1
+    n0 = n * (n - 1) // 2
+    den = float(n0 - n1) * float(n0 - n2)
+    if den <= 0:
+        return float("nan")
+    return (C - D) / math.sqrt(den)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 42])
+def test_kendall_tau_b_matches_bruteforce(seed):
+    from featurewiz_spark.selection.sulov import _kendall_tau_b
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    cases = [
+        (rng.normal(size=n), rng.normal(size=n)),            # continuous
+        (rng.integers(0, 5, n).astype(float),
+         rng.integers(0, 4, n).astype(float)),               # heavy ties
+        (np.round(rng.normal(size=n), 1),
+         np.round(rng.normal(size=n), 1)),                   # mixed ties
+    ]
+    x, y = cases[0]
+    cases.append((x, 2.0 * x + rng.normal(scale=0.5, size=n)))  # correlated
+    for x, y in cases:
+        got = _kendall_tau_b(np.asarray(x), np.asarray(y))
+        exp = _brute_tau_b(list(x), list(y))
+        assert got == pytest.approx(exp, abs=1e-12)
+
+
+def test_kendall_constant_column_nan():
+    from featurewiz_spark.selection.sulov import _kendall_tau_b
+
+    x = np.ones(50)
+    y = np.arange(50, dtype=float)
+    assert np.isnan(_kendall_tau_b(x, y))
+
+
+def test_kendall_monotone_nonlinear_is_one():
+    """τ is rank-based: a strictly monotone nonlinear map keeps τ=1
+    while Pearson drops below 1 — the reason the reference offers it."""
+    from featurewiz_spark.selection.sulov import _kendall_tau_b
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=400)
+    y = np.exp(3.0 * x)
+    assert _kendall_tau_b(x, y) == pytest.approx(1.0)
+    assert abs(np.corrcoef(x, y)[0, 1]) < 0.9
+
+
+def test_kendall_matrix_sampled_matches_bruteforce(spark, corr_pdf):
+    from featurewiz_spark.selection.sulov import kendall_matrix_sampled
+
+    df = spark.createDataFrame(corr_pdf)
+    cols = ["x1", "x2", "x3", "noise"]
+    got = kendall_matrix_sampled(df, cols, sample_rows=5000)  # > n: full frame
+    sub = corr_pdf[cols].head(2000)
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            exp = abs(_brute_tau_b(list(sub[a]), list(sub[b])))
+            assert got.loc[a, b] == pytest.approx(exp, abs=1e-12)
+    assert np.allclose(np.diag(got.to_numpy()), 1.0)
+
+
+def test_kendall_binned_close_to_exact(spark, corr_pdf):
+    """Binned distributed τ-b: equal-frequency 64-bin contingency tables
+    only err by pairs collapsing INTO a bin (O(1/B)) — must track exact
+    τ within a few hundredths on continuous data."""
+    from featurewiz_spark.selection.sulov import (
+        kendall_matrix_binned,
+        kendall_matrix_sampled,
+    )
+
+    df = spark.createDataFrame(corr_pdf)
+    cols = ["x1", "x2", "x3", "x4"]
+    exact = kendall_matrix_sampled(df, cols, sample_rows=5000)
+    binned = kendall_matrix_binned(df, cols, n_bins=64)
+    assert np.abs(exact.to_numpy() - binned.to_numpy()).max() < 0.03
+
+
+def test_kendall_binned_partition_stable(spark, corr_pdf):
+    """The contingency accumulation is exact integer math, but the
+    approxQuantile edge pass (Greenwald-Khanna) may merge summaries in
+    a partition-dependent order — so the cross-partitioning guarantee
+    is edge-jitter-bounded (O(rel_err)), not bitwise."""
+    from featurewiz_spark.selection.sulov import kendall_matrix_binned
+
+    df = spark.createDataFrame(corr_pdf)
+    cols = ["x1", "x3", "noise"]
+    a = kendall_matrix_binned(df.repartition(3), cols)
+    b = kendall_matrix_binned(df.repartition(13), cols)
+    assert np.abs(a.to_numpy() - b.to_numpy()).max() < 0.02
+
+
+def test_sulov_accepts_kendall_and_type_lists(spark, corr_pdf):
+    """SULOV with method='kendall' knocks out the duplicate features;
+    a correlation_types LIST (reference sulov_method.py:107-136) keeps
+    a pair whenever ANY matrix crosses the limit — the pearson-weak but
+    kendall-strong duplicate must fall only when kendall is included."""
+    from featurewiz_spark.selection.sulov import sulov_select
+
+    pdf = corr_pdf.copy()
+    # monotone-nonlinear duplicate of x1: kendall |τ|=1, pearson weaker
+    pdf["x1_mono"] = np.exp(3.0 * pdf["x1"])
+    df = spark.createDataFrame(pdf)
+    cols = ["x1", "x2", "x3", "x4", "x1_mono", "noise"]
+
+    kend = sulov_select(df, cols, "y", corr_limit=0.9, method="kendall")
+    assert "x1" in kend and "x1_mono" not in kend
+
+    pear = sulov_select(df, cols, "y", corr_limit=0.9, method="pearson")
+    assert "x1_mono" in pear  # pearson alone misses the monotone dup
+
+    both = sulov_select(
+        df, cols, "y", corr_limit=0.9, method=["pearson", "kendall"]
+    )
+    assert "x1_mono" not in both
+    assert set(both) <= set(pear)

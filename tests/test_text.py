@@ -207,3 +207,38 @@ def test_ivf_multiprobe_recovers_boundary_recall(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 > 0.85  # 3 of 6 cells probed catches boundary neighbors
+
+
+def test_stopword_regexp_count_matches_token_membership(spark):
+    """r5: q_stopword_ratio's numerator moved from the interpreted
+    transform(lower)+filter+array_contains chain to ONE regexp_count
+    with WS-boundary lookarounds. The two must be INTEGER-identical —
+    token = maximal non-WS run, match iff lower(token) is a stopword —
+    on the fixture corpus plus whitespace edge rows (leading/trailing
+    WS, every WS_CLASS character as the delimiter, substring bait)."""
+    from pyspark.sql import functions as F
+
+    from featurewiz_spark.text._norm import WS_CLASS
+    from featurewiz_spark.text.stats import _STOPWORDS, add_quality_features
+
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    ref = F.size(
+        F.filter(
+            F.transform(F.split(F.col("text"), WS_CLASS), lambda w: F.lower(w)),
+            lambda w: F.array_contains(sw, w),
+        )
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(" the and  of ",), ("THE  a cat",), ("",), ("a",), ("that",),
+         ("xthe thex",), ("a\tin\nis\x0bit\ffor\rto",), ("for",), (" ",)],
+        "text string",
+    )
+    for d in (docs.select("text"), edge):
+        got = add_quality_features(d, "text")
+        n_words = F.size(F.split(F.col("text"), WS_CLASS))
+        mism = got.where(
+            F.col("q_stopword_ratio")
+            != ref / F.greatest(n_words, F.lit(1))
+        ).count()
+        assert mism == 0
