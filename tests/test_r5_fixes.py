@@ -292,3 +292,23 @@ def test_avi_mjpg_gated_on_pil(spark):
     if not HAS_PIL:
         assert len(rows) == 1 and rows[0]["frame_idx"] == -1
         assert "Pillow" in rows[0]["decode_error"]
+
+
+# ------------------------------------------------------------------
+# r5: xgboost parity harness gate
+# ------------------------------------------------------------------
+
+
+def test_xgb_parity_gate(monkeypatch):
+    """Without xgboost the full-parity mode must exit 3 with the gate
+    message BEFORE any Spark work (the committed BENCH/XGB_PARITY.md
+    records the self-test + the run command for hosts that have it);
+    with xgboost installed this gate is vacuous — skip."""
+    from featurewiz_spark.selection.gbt import HAS_XGBOOST
+
+    if HAS_XGBOOST:
+        pytest.skip("xgboost installed: gate not reachable")
+    import tools.xgb_parity as xp
+
+    monkeypatch.setattr("sys.argv", ["xgb_parity.py"])
+    assert xp.main() == 3

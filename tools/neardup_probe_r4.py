@@ -81,8 +81,15 @@ def _gen(n_base: int):
 
 
 def main() -> None:
+    global N_PLANES, CAP
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # r5: n_planes scales with log2(n) to keep organic buckets under the
+    # cap (avg bucket = n / 2^n_planes) — 10M run: 14 planes
+    if len(sys.argv) > 3:
+        N_PLANES = int(sys.argv[3])
+    if len(sys.argv) > 4:
+        CAP = int(sys.argv[4])
 
     from featurewiz_spark import get_spark
     from featurewiz_spark.operators.similarity import (

@@ -177,8 +177,15 @@ def _run(df, times, **kw):
 
 
 def main():
+    global N_CLUSTERS, CAP
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # r5: cluster/cap scale with n (SemDeDup keeps cell size roughly
+    # constant by growing k with the corpus) — 10M run: 256 / 150k
+    if len(sys.argv) > 3:
+        N_CLUSTERS = int(sys.argv[3])
+    if len(sys.argv) > 4:
+        CAP = int(sys.argv[4])
     from featurewiz_spark import get_spark
 
     spark = get_spark("semantic_probe", cores=cores,
