@@ -60,6 +60,10 @@ class FeatureWizSpark:
     skip_sulov: bool = False
     skip_ranking: bool = False
     sulov_mode: str = "pairwise"
+    # reference correlation_types (sulov_method.py:107-136): a string or
+    # a LIST of {'pearson','spearman','kendall'} — with a list, a pair
+    # counts as correlated when ANY matrix crosses corr_limit
+    correlation_types: str | list[str] = "pearson"
     # F2 ranking trains on a deterministic hash-ordered sample; the
     # reference caps its own training rows the same way. 10k mirrors the
     # reference default — raise it when selection quality at scale
@@ -325,6 +329,7 @@ class FeatureWizSpark:
             selected = sulov_select(
                 df, selected, targets[0], corr_limit=self.corr_limit,
                 problem_type=self.problem_type, mode=self.sulov_mode,
+                method=self.correlation_types,
             )
         if not self.skip_ranking and len(selected) > 1:
             selected = recursive_feature_ranking(

@@ -312,3 +312,34 @@ def test_xgb_parity_gate(monkeypatch):
 
     monkeypatch.setattr("sys.argv", ["xgb_parity.py"])
     assert xp.main() == 3
+
+
+def test_facade_correlation_types_kendall(spark):
+    """The facade exposes the reference's correlation_types knob
+    (sulov_method.py:107-136): a kendall-inclusive list must knock out
+    a monotone-nonlinear duplicate that pearson alone keeps."""
+    import numpy as np
+    import pandas as pd
+
+    from featurewiz_spark.plans.facade import FeatureWizSpark
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    x1 = rng.normal(size=n)
+    pdf = pd.DataFrame({
+        "x1": x1,
+        "x1_mono": np.exp(3.0 * x1),
+        "x3": rng.normal(size=n),
+        "y": 3 * x1 + rng.normal(scale=0.1, size=n),
+    })
+    df = spark.createDataFrame(pdf)
+
+    fw_p = FeatureWizSpark(skip_ranking=True, correlation_types="pearson")
+    fw_p.fit_transform(df, "y")
+    assert "x1_mono" in fw_p.features
+
+    fw_k = FeatureWizSpark(
+        skip_ranking=True, correlation_types=["pearson", "kendall"]
+    )
+    fw_k.fit_transform(df, "y")
+    assert "x1" in fw_k.features and "x1_mono" not in fw_k.features
