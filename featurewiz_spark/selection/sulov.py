@@ -272,10 +272,13 @@ def kendall_matrix_binned(
     τ is invariant under strictly monotone maps, so binning's only
     error is pairs that collapse INTO a bin (become ties) — O(1/B);
     with B=64 the matrix matches exact τ-b to ~0.02 on continuous data,
-    ample for |corr|-threshold pruning. Never collects rows; driver and
-    executor state is pairs·B² counts (k=50, B=64 → ~40 MB), which is
-    why B defaults lower than the Spearman path's 256 bins.
-    NaNs are filled with 0 BEFORE binning (reference fillna)."""
+    ample for |corr|-threshold pruning. Never collects rows; one
+    partial row PER (input partition, pair) flows through a two-level
+    salted combine (64-way fan-in per pair, then per-pair total), so
+    the driver materializes exactly `pairs` combined tables (k=50,
+    B=64 → ~40 MB) REGARDLESS of cluster size, and no combine task
+    holds more than ceil(P/64)+64 partials. NaNs are filled with 0
+    BEFORE binning (reference fillna)."""
     k = len(cols)
     filled = df.select(
         *[
@@ -322,21 +325,35 @@ def kendall_matrix_binned(
             {"p": range(len(pairs)), "tab": [t.ravel().tolist() for t in tabs]}
         )
 
-    rows = filled.mapInPandas(part, schema=schema).collect()
-    agg = {
-        pi: np.zeros(
-            (bins_per_col[i], bins_per_col[j]), dtype=np.int64
+    def _sum_tabs(pdf: pd.DataFrame) -> pd.DataFrame:
+        tot = np.array(pdf["tab"].tolist(), dtype=np.int64).sum(axis=0)
+        return pd.DataFrame(
+            {"p": [int(pdf["p"].iloc[0])], "tab": [tot.tolist()]}
         )
-        for pi, (i, j) in enumerate(pairs)
-    }
+
+    partials = filled.mapInPandas(part, schema=schema)
+    # two-level exact-integer combine: salt by source partition so the
+    # first level fans in ≤64 ways per pair, the second holds ≤64 rows —
+    # bounded tasks and a cluster-size-independent driver collect
+    level1 = (
+        partials.withColumn("g", F.pmod(F.spark_partition_id(), F.lit(64)))
+        .groupBy("p", "g")
+        .applyInPandas(
+            lambda pdf: _sum_tabs(pdf).assign(g=pdf["g"].iloc[0]),
+            schema=T.StructType(
+                schema.fields + [T.StructField("g", T.IntegerType())]
+            ),
+        )
+        .drop("g")
+    )
+    rows = level1.groupBy("p").applyInPandas(_sum_tabs, schema=schema).collect()
+    out = np.eye(k)
     for r in rows:
         i, j = pairs[r["p"]]
-        agg[r["p"]] += np.array(r["tab"], dtype=np.int64).reshape(
+        tab = np.array(r["tab"], dtype=np.int64).reshape(
             bins_per_col[i], bins_per_col[j]
         )
-    out = np.eye(k)
-    for pi, (i, j) in enumerate(pairs):
-        out[i, j] = out[j, i] = _tau_b_from_contingency(agg[pi])
+        out[i, j] = out[j, i] = _tau_b_from_contingency(tab)
     return pd.DataFrame(np.abs(out), index=cols, columns=cols)
 
 
