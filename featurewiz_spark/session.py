@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's post-shuffle coalescing floors partitions at 1MB
+        # (minPartitionSize), which collapses small-but-CPU-heavy stages
+        # — e.g. the Arrow-batched langid kernel over a few MB of deduped
+        # documents — to ONE task, serializing a 32-core stage (measured:
+        # q62 langid stage 0.9s→0.6s, q62 1.9s→1.5s at sf0.1). 32k keeps
+        # such stages at full parallelism; at 100TB exchange sizes dwarf
+        # both floors and the knob is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "32k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

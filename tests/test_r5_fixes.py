@@ -343,3 +343,14 @@ def test_facade_correlation_types_kendall(spark):
     )
     fw_k.fit_transform(df, "y")
     assert "x1" in fw_k.features and "x1_mono" not in fw_k.features
+
+
+def test_session_keeps_small_python_stages_parallel(spark):
+    # AQE's default 1MB coalesce floor serialized the Arrow langid kernel
+    # to ONE task on a few-MB deduped documents stage (q62 1.9s -> 1.5s at
+    # sf0.1 after the fix). get_spark pins a 32k floor; pin it here so a
+    # session refactor can't silently bring the serialization back.
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+        == "32k"
+    )
