@@ -1569,10 +1569,14 @@ def _q96_kendall_tau(spark, sf):
     )
     m = kendall_matrix_sampled(ev, ["value", "user_id", "hr"], sample_rows=1_000_000)
     rows = [
-        (a, b, round(float(m.loc[a, b]), 6))
+        (a, b, float(m.loc[a, b]))
         for a, b in (("value", "user_id"), ("value", "hr"), ("user_id", "hr"))
     ]
-    return spark.createDataFrame(rows, "col_x string, col_y string, abs_tau double")
+    # round IN-PLAN (HALF_UP, matching DuckDB round) — Python round() is
+    # banker's half-even and diverges on exact .xxxxxx5 boundaries
+    return spark.createDataFrame(
+        rows, "col_x string, col_y string, abs_tau double"
+    ).select("col_x", "col_y", F.round("abs_tau", 6).alias("abs_tau"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

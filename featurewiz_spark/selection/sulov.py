@@ -225,10 +225,14 @@ def _kendall_tau_b(x: np.ndarray, y: np.ndarray) -> float:
     n3 = 0
     if len(both):
         # each maximal streak of consecutive equal-neighbor flags of
-        # length L marks a run of L+1 equal (x, y) rows
-        for r in np.split(both, np.flatnonzero(np.diff(both) > 1) + 1):
-            t = len(r) + 1
-            n3 += t * (t - 1) // 2
+        # length L marks a run of L+1 equal (x, y) rows; run boundaries
+        # vectorized (same shape as _tie_term) — a Python loop here is
+        # O(#tie-runs) interpreter work, ~n/2 runs on low-cardinality data
+        bnd = np.flatnonzero(np.diff(both) > 1)
+        starts = np.concatenate(([0], bnd + 1))
+        ends = np.concatenate((bnd, [len(both) - 1]))
+        t = (both[ends] - both[starts]) + 2
+        n3 = int((t * (t - 1) // 2).sum())
     dis = _merge_count_inversions(ys)
     den = float((n0 - n1)) * float((n0 - n2))
     if den <= 0:
@@ -249,7 +253,11 @@ def kendall_matrix_sampled(
     already makes for MI at scale (featurewiz.py:1060-1068). NaNs are
     filled with 0 first (reference fillna, sulov_method.py:96-99)."""
     sampled = (
-        df.select(*cols).orderBy(F.xxhash64(*cols)).limit(sample_rows).toPandas()
+        df.select(*cols)
+        .orderBy(F.xxhash64(*cols))  # hash ORIGINAL values: sample identity
+        .limit(sample_rows)          # is independent of the cast below
+        .select(*[F.col(c).try_cast("double").alias(c) for c in cols])
+        .toPandas()
     )
     X = np.nan_to_num(sampled.to_numpy(dtype=np.float64), nan=0.0)
     k = len(cols)
@@ -280,11 +288,16 @@ def kendall_matrix_binned(
     holds more than ceil(P/64)+64 partials. NaNs are filled with 0
     BEFORE binning (reference fillna)."""
     k = len(cols)
+    # try_cast FIRST (ANSI cast THROWS on malformed strings), then kill
+    # NaN (nanvl) and NULL (coalesce): the previous when(isNull |
+    # isnan(cast)) both crashed on non-numeric strings under ANSI and,
+    # with ANSI off, let the cast-NULL through to searchsorted — NaN
+    # compares false everywhere, landing in the TOP bin instead of 0.0
     filled = df.select(
         *[
-            F.when(
-                F.col(c).isNull() | F.isnan(F.col(c).cast("double")), 0.0
-            ).otherwise(F.col(c).cast("double")).alias(c)
+            F.coalesce(
+                F.nanvl(F.col(c).try_cast("double"), F.lit(0.0)), F.lit(0.0)
+            ).alias(c)
             for c in cols
         ]
     )
@@ -320,7 +333,12 @@ def kendall_matrix_binned(
                     uniq_edges[ci], X[:, ci], side="right"
                 )
             for pi, (i, j) in enumerate(pairs):
-                np.add.at(tabs[pi], (codes[:, i], codes[:, j]), 1)
+                # bincount on raveled indices runs at memory bandwidth;
+                # np.add.at is an unbuffered scatter ~10-30x slower
+                bi, bj = bins_per_col[i], bins_per_col[j]
+                tabs[pi] += np.bincount(
+                    codes[:, i] * bj + codes[:, j], minlength=bi * bj
+                ).reshape(bi, bj)
         yield pd.DataFrame(
             {"p": range(len(pairs)), "tab": [t.ravel().tolist() for t in tabs]}
         )
@@ -606,7 +624,11 @@ def mutual_info(
                 x = pdf[c].to_numpy(dtype=np.float64)
                 x = np.nan_to_num(x, nan=0.0)
                 xb = np.searchsorted(b_edges[i], x, side="left")
-                np.add.at(H[i], (xb[valid_y], yb[valid_y].astype(int)), 1)
+                # raveled bincount, not np.add.at — see kendall_matrix_binned
+                H[i] += np.bincount(
+                    xb[valid_y] * n_y + yb[valid_y].astype(np.int64),
+                    minlength=bins * n_y,
+                ).reshape(bins, n_y)
         yield pd.DataFrame({"h": [H.ravel().tolist()]})
 
     parts = df.select(*cols, target).mapInPandas(part, schema=schema).collect()

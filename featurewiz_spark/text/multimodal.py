@@ -338,6 +338,11 @@ def sample_video_frames(
         for pdf in batches:
             ids, idxs, feats, errs = [], [], [], []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                # Per-media staging: a demuxer that yields some frames and
+                # THEN raises (truncated chunk mid-stream) must not leave
+                # partial frame rows next to the poison row — the contract
+                # is all-frames XOR one frame_idx=-1 row per media.
+                m_idxs, m_feats = [], []
                 try:
                     if buf is None:
                         raise ValueError("null content")
@@ -347,14 +352,10 @@ def sample_video_frames(
                         and b[:4] == b"RIFF"
                         and b[8:12] == b"AVI "
                     )
-                    emitted = False
                     if decoder == "avi" or (decoder == "auto" and is_avi):
                         for fi, vec in _decode_avi_frames(b, every_n):
-                            ids.append(mid)
-                            idxs.append(fi)
-                            feats.append(vec.tolist())
-                            errs.append(None)
-                            emitted = True
+                            m_idxs.append(fi)
+                            m_feats.append(vec.tolist())
                     else:
                         # stub "frames": fixed-size strides over the payload
                         n_frames = max(1, len(b) // 64)
@@ -362,13 +363,14 @@ def sample_video_frames(
                             chunk = b[fi * 64 : (fi + 1) * 64]
                             if not chunk:
                                 continue
-                            ids.append(mid)
-                            idxs.append(fi)
-                            feats.append(_decode_image_bytes(chunk).tolist())
-                            errs.append(None)
-                            emitted = True
-                    if not emitted:
+                            m_idxs.append(fi)
+                            m_feats.append(_decode_image_bytes(chunk).tolist())
+                    if not m_idxs:
                         raise ValueError("empty payload: no frames")
+                    ids.extend([mid] * len(m_idxs))
+                    idxs.extend(m_idxs)
+                    feats.extend(m_feats)
+                    errs.extend([None] * len(m_idxs))
                 except _poison_exceptions() as ex:
                     ids.append(mid)
                     idxs.append(-1)

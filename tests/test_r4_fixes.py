@@ -386,14 +386,14 @@ def test_langid_sql_mirror_matches_spark(spark, duck):
 
 def test_langid_pandas_and_expr_impls_agree(spark):
     """The Arrow-kernel default and the pure-JVM expression path must
-    return identical predictions. (Since the r5 vectorization the
-    kernel accumulates grouped count·logp per distinct trigram, so raw
-    scores may differ from the expr fold in the last ulp — languages
-    are separated by O(1) nats, and exact ties, e.g. the tie-bait
-    fragments below, still hit the identical (score, prio, lang)
-    tie-break because cnt·logp is IEEE-exact for the cnt=1/2 cases they
-    exercise.) Probed on real fixture docs plus edge rows (null / empty
-    / all-OOV / tie-bait short fragments)."""
+    return identical predictions. Both accumulate in-vocab log-probs in
+    TEXT ORDER (the kernel's weighted bincount adds hits in array order
+    = the expr fold's left-to-right order) and both price OOV trigrams
+    as ONE closed-form oov_count·fallback multiply — so raw scores are
+    bitwise-equal and exact ties (the tie-bait fragments below) hit the
+    identical (score, prio, lang) tie-break in both paths. Probed on
+    real fixture docs plus edge rows (null / empty / all-OOV / tie-bait
+    short fragments)."""
     from featurewiz_spark.text.langid import add_language_id_ngram
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -354,3 +354,51 @@ def test_session_keeps_small_python_stages_parallel(spark):
         spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
         == "32k"
     )
+
+
+def test_avi_midstream_failure_emits_only_poison(spark):
+    """A demuxer that yields frames 0/1 and THEN hits a truncated chunk
+    must not ship the partial frames next to the poison row — the
+    contract is all-frames XOR one frame_idx=-1 row per media."""
+    import numpy as np
+
+    from featurewiz_spark.text.multimodal import sample_video_frames
+
+    w, h = 3, 2
+    frames = [np.full((h, w, 3), 7 * (i + 1), dtype=np.uint8) for i in range(3)]
+    avi = bytearray(_write_avi_rgb24(frames, w, h))
+    avi = avi[:-4]  # truncate the last '00db' chunk mid-frame
+    df = spark.createDataFrame(
+        [(1, avi), (2, bytearray(_write_avi_rgb24(frames, w, h)))],
+        "media_id long, content binary",
+    )
+    rows = sample_video_frames(df, every_n=1).collect()
+    bad = [r for r in rows if r["media_id"] == 1]
+    good = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1
+    assert bad[0]["decode_error"] is not None and bad[0]["features"] is None
+    assert sorted(r["frame_idx"] for r in good) == [0, 1, 2]
+
+
+def test_kendall_binned_string_column_fills_to_zero(spark):
+    """Non-numeric strings cast to NULL (not NaN); the fill must send
+    them to 0.0, not let a surviving NULL/NaN searchsorted into the TOP
+    bin (NaN compares false everywhere -> side='right' returns len)."""
+    import pandas as pd
+
+    from featurewiz_spark.selection.sulov import (
+        kendall_matrix_binned,
+        kendall_matrix_sampled,
+    )
+
+    pdf = pd.DataFrame({
+        "a": [str(v) for v in range(1, 101)],
+        "b": [float(v) for v in range(1, 101)],
+    })
+    pdf.loc[::7, "a"] = "not-a-number"  # cast('double') -> NULL
+    df = spark.createDataFrame(pdf)
+    m_binned = kendall_matrix_binned(df, ["a", "b"], n_bins=32)
+    m_sampled = kendall_matrix_sampled(df, ["a", "b"], sample_rows=1000)
+    # both variants must agree on the same fill (strings -> 0.0); the
+    # binned estimate only loses pairs that collapse INTO a bin
+    assert abs(m_binned.loc["a", "b"] - m_sampled.loc["a", "b"]) < 0.08
