@@ -301,6 +301,9 @@ def write_baseline_md(result: dict) -> None:
             f"{s['scaling_efficiency_n_to_4n']}** "
             "(target ≥ 0.8 per BASELINE.json; efficiency = (T_N/T_4N)/4)",
             "",
+            "Sustained-throughput evidence at 10M rows (16.7× this "
+            "table's input, same worker): BENCH/PAGES10M.md.",
+            "",
             "### Why N=2→8 and not 8→32",
             "",
             "Measured on this sandbox: a register-only workload scales "
