@@ -91,26 +91,28 @@ def brute_force_topk(
 
     This is the exact BASELINE kernel — the corpus matrix lives on the
     driver, which is only sane for corpora that fit comfortably in
-    driver memory. max_corpus_rows guards the collect (one scan-only
-    count job, same pattern as label_encode's cardinality guard): above
-    the cap we raise and point to the distributed kernels instead of
-    OOMing the driver. Pass None to force (e.g. oracle runs on frames
-    known tiny). Scale paths: :func:`brute_force_topk_blocked`
+    driver memory. max_corpus_rows guards the collect (same pattern as
+    label_encode's cardinality guard) with ZERO extra jobs: the collect
+    itself is limited to cap+1 rows, so the driver never holds more
+    than the cap even on a 10^9-row corpus, and row cap+1's existence
+    is the over-limit signal. Pass None to force (e.g. oracle runs on
+    frames known tiny). Scale paths: :func:`brute_force_topk_blocked`
     (exact, cogrouped block-GEMM), :func:`ann_topk_lsh`,
     :func:`ivf_topk`.
     """
+    corpus_q = df.select(id_col, vec_col)
     if max_corpus_rows is not None:
-        n_corpus = df.select(id_col).limit(max_corpus_rows + 1).count()
-        if n_corpus > max_corpus_rows:
-            raise ValueError(
-                f"brute_force_topk: corpus exceeds max_corpus_rows="
-                f"{max_corpus_rows} ({n_corpus}+ rows). This baseline "
-                "collects the corpus matrix to the driver — use the "
-                "distributed kernels instead: brute_force_topk_blocked "
-                "(exact), ann_topk_lsh or ivf_topk (approximate). Pass "
-                "max_corpus_rows=None to force."
-            )
-    corpus = df.select(id_col, vec_col).toPandas()
+        corpus_q = corpus_q.limit(max_corpus_rows + 1)
+    corpus = corpus_q.toPandas()
+    if max_corpus_rows is not None and len(corpus) > max_corpus_rows:
+        raise ValueError(
+            f"brute_force_topk: corpus exceeds max_corpus_rows="
+            f"{max_corpus_rows}. This baseline collects the corpus "
+            "matrix to the driver — use the distributed kernels "
+            "instead: brute_force_topk_blocked (exact), ann_topk_lsh "
+            "or ivf_topk (approximate). Pass max_corpus_rows=None to "
+            "force."
+        )
     ids = corpus[id_col].to_numpy()
     M = np.vstack(corpus[vec_col].to_numpy()).astype(np.float64)
     M_norm = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
