@@ -1579,6 +1579,26 @@ def _q96_kendall_tau(spark, sf):
     ).select("col_x", "col_y", F.round("abs_tau", 6).alias("abs_tau"))
 
 
+def _q97_dsir_resample(spark, sf):
+    """DSIR importance resampling (text/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram bag over m=512 md5-60 buckets, Laplace-
+    smoothed target/raw log-ratio weights fitted IN-PLAN (round-9,
+    -0.0 canonicalized), per-doc log-weight as a bucket-sorted left
+    fold — bit-identical to the mirror's ``sum(lam ORDER BY b)``
+    because equal buckets carry the identical lambda — and a
+    derandomized Gumbel top-k cut (md5 uniform built from EXACT double
+    arithmetic). Target corpus = the doc_id % 7 = 0 slice, k=100. The
+    oracle recomputes fit AND score AND the cut from the same
+    tokenizer / hash / smoothing / fold-order definitions."""
+    from featurewiz_spark.text.dsir import dsir_resample
+
+    docs = _tp(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == F.lit(0))
+    return dsir_resample(docs, target, k=100, m=512).select(
+        "doc_id", "dsir_logw", "dsir_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1677,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_build_vocabulary": _q94_build_vocabulary,
         "q95_snapshot_churn": _q95_snapshot_churn,
         "q96_kendall_tau": _q96_kendall_tau,
+        "q97_dsir_resample": _q97_dsir_resample,
     }
 
 
@@ -2765,6 +2786,7 @@ def _generated_oracles() -> dict[str, str]:
         repetition_signals_sql,
         snapshot_churn_sql,
     )
+    from featurewiz_spark.text.dsir import dsir_sql as _dsir_sql
     from featurewiz_spark.text.urls import url_features_sql
 
     from featurewiz_spark.operators.semantic import (
@@ -3053,6 +3075,16 @@ def _generated_oracles() -> dict[str, str]:
                          sqrt((n0 - tu)::DOUBLE * (n0 - th)::DOUBLE)), 6)
             FROM cd, base
         """,
+        # q97: fit + score + Gumbel top-k all regenerated from the
+        # shared tokenizer/md5-60/smoothing/fold-order definitions
+        # (text/dsir.py::dsir_sql) — ONE source of truth, the two
+        # engines cannot drift.
+        "q97_dsir_resample": _dsir_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+            m=512,
+            k=100,
+        ),
     }
 
 
