@@ -1599,6 +1599,133 @@ def _q97_dsir_resample(spark, sf):
     )
 
 
+# q98: deterministic decoration appended IN-PLAN from these shared
+# literals (decomposed combining marks, Hangul jamo, the Å singleton,
+# a compatibility ligature, and a C0 control) — the testdata corpus is
+# pure ASCII, so without decoration NFC would be exercised only on its
+# identity path. Same list feeds both engines.
+_Q98_DECOR = [
+    " café société",
+    " Ångström \x07lab",
+    " 가 jamo Å sign",
+    " ligature ﬁle ok",
+    " plain ascii tail",
+]
+
+
+def _q98_unicode_normalize(spark, sf):
+    """Unicode NFC normalization (text/normalize.py): control strip →
+    NFC composition (Arrow kernel, ASCII fast path) → whitespace
+    collapse, one shuffle-free projection. The DuckDB oracle replays
+    the same three stages (nfc_normalize + the shared CONTROL_CLASS /
+    WS_CLASS pattern texts) byte-for-byte."""
+    from featurewiz_spark.text.normalize import add_unicode_normalized
+
+    docs = _tp(spark, sf, "documents")
+    decor = F.element_at(
+        F.array(*[F.lit(s) for s in _Q98_DECOR]),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    raw = docs.select("doc_id", F.concat(F.col("text"), decor).alias("raw"))
+    out = add_unicode_normalized(raw, "raw", out_col="text_norm")
+    return out.select(
+        "doc_id",
+        "text_norm",
+        F.length("raw").alias("n_chars_raw"),
+        F.length("text_norm").alias("n_chars_norm"),
+    )
+
+
+# q99: the merge table is a FITTED MODEL pinned as a constant operator
+# parameter (provenance: bpe_train(bpe_word_counts(sf0.001 documents,
+# max_words=50k), 32) — deterministic, recorded in tests). Pinning is
+# what lets the oracle replay ENCODE exactly; training itself is
+# iterative/driver-side and is pinned by tests/test_bpe.py instead
+# (same regime as q88's inlined JL sign matrix).
+_Q99_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
+]
+
+
+def _q99_bpe_encode(spark, sf):
+    """BPE tokenization (text/bpe.py): the 32-merge fitted table folded
+    into the plan as a chain of literal ``replace`` expressions over a
+    delimiter-doubled symbol sequence — 100%% JVM codegen, zero Python,
+    zero shuffle (plan-shape pinned in tests). The oracle re-derives
+    the identical fold from the same merge list via bpe_encode_sql."""
+    from featurewiz_spark.text.bpe import bpe_encode
+
+    docs = _tp(spark, sf, "documents")
+    enc = bpe_encode(docs, _Q99_MERGES, "text")
+    head = F.concat_ws(" ", F.slice(F.col("bpe_tokens"), 1, 8))
+    return enc.select(
+        "doc_id",
+        F.col("bpe_n_tokens").cast("long").alias("bpe_n_tokens"),
+        F.when(F.col("bpe_tokens").isNull(), F.lit(None).cast("string"))
+        .otherwise(head)
+        .alias("bpe_head"),
+    )
+
+
+def _ddb_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression — control chars
+    become chr(n) so the SQL text stays printable and unambiguous."""
+    parts, buf = [], ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 127:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+def _q98_sql() -> str:
+    from featurewiz_spark.text.normalize import unicode_normalize_sql
+
+    arms = "\n                ".join(
+        f"WHEN {i} THEN {_ddb_str(s)}" for i, s in enumerate(_Q98_DECOR)
+    )
+    norm = unicode_normalize_sql("raw")
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   text || (CASE (doc_id % 5)
+                {arms}
+                   END) AS raw
+            FROM documents
+        )
+        SELECT doc_id, {norm} AS text_norm,
+               length(raw) AS n_chars_raw,
+               length({norm}) AS n_chars_norm
+        FROM raw
+    """
+
+
+def _q99_sql() -> str:
+    from featurewiz_spark.text.bpe import bpe_encode_sql
+
+    toks = bpe_encode_sql("text", _Q99_MERGES)
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS bpe_n_tokens,
+               CASE WHEN toks IS NULL THEN NULL
+                    ELSE array_to_string(toks[1:8], ' ') END AS bpe_head
+        FROM t
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1698,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_snapshot_churn": _q95_snapshot_churn,
         "q96_kendall_tau": _q96_kendall_tau,
         "q97_dsir_resample": _q97_dsir_resample,
+        "q98_unicode_normalize": _q98_unicode_normalize,
+        "q99_bpe_encode": _q99_bpe_encode,
     }
 
 
@@ -3085,6 +3214,14 @@ def _generated_oracles() -> dict[str, str]:
             m=512,
             k=100,
         ),
+        # q98: decoration CASE + strip→NFC→collapse all generated from
+        # the SAME _Q98_DECOR list and normalize.py pattern constants
+        # the Spark plan uses (unicode_normalize_sql shares the literal
+        # CONTROL_CLASS / WS_CLASS texts) — byte-for-byte mirror.
+        "q98_unicode_normalize": _q98_sql(),
+        # q99: the encode fold regenerated from the SAME pinned merge
+        # list and delimiter constants (text/bpe.py::bpe_encode_sql).
+        "q99_bpe_encode": _q99_sql(),
     }
 
 
