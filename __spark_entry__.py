@@ -1673,6 +1673,19 @@ def _q99_bpe_encode(spark, sf):
     )
 
 
+def _q100_exact_substring(spark, sf):
+    """ExactSubstr duplicated-span removal (text/exactsub.py — Lee et
+    al. 2021): sliding 6-token window hashes → ONE corpus-frequency
+    aggregate → positions of >=2-occurrence windows → maximal-span
+    merge + reconstruction as a single in-plan fold. Output is strings
+    + exact integers; the oracle re-derives the same spans with a
+    gaps-and-islands window."""
+    from featurewiz_spark.text.exactsub import exact_substring_dedup
+
+    docs = _tp(spark, sf, "documents")
+    return exact_substring_dedup(docs, "text", "doc_id", ngram=6, min_count=2)
+
+
 def _ddb_str(s: str) -> str:
     """Render a Python string as a DuckDB expression — control chars
     become chr(n) so the SQL text stays printable and unambiguous."""
@@ -1827,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_dsir_resample": _q97_dsir_resample,
         "q98_unicode_normalize": _q98_unicode_normalize,
         "q99_bpe_encode": _q99_bpe_encode,
+        "q100_exact_substring": _q100_exact_substring,
     }
 
 
@@ -2916,6 +2930,7 @@ def _generated_oracles() -> dict[str, str]:
         snapshot_churn_sql,
     )
     from featurewiz_spark.text.dsir import dsir_sql as _dsir_sql
+    from featurewiz_spark.text.exactsub import exact_substring_dedup_sql
     from featurewiz_spark.text.urls import url_features_sql
 
     from featurewiz_spark.operators.semantic import (
@@ -3222,6 +3237,12 @@ def _generated_oracles() -> dict[str, str]:
         # q99: the encode fold regenerated from the SAME pinned merge
         # list and delimiter constants (text/bpe.py::bpe_encode_sql).
         "q99_bpe_encode": _q99_sql(),
+        # q100: spans re-derived from the same h60/tokenizer contract;
+        # maximal-span merge via gaps-and-islands (exactsub.py module
+        # doc proves the lag test equals the Spark fold's clamp).
+        "q100_exact_substring": exact_substring_dedup_sql(
+            "documents", ngram=6, min_count=2
+        ),
     }
 
 
