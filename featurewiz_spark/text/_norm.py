@@ -29,10 +29,13 @@ from pyspark.sql import functions as F
 WS_CLASS = r"[ \t\n\x0B\f\r]+"
 
 
-def norm_text(text_col: str, lower: bool = True):
+def norm_text(text_col, lower: bool = True):
     """Whitespace-collapsed, trimmed (and by default lowercased) text
-    Column; NULL propagates, empty/all-whitespace input yields ''."""
-    t = F.trim(F.regexp_replace(F.col(text_col), WS_CLASS, " "))
+    Column; NULL propagates, empty/all-whitespace input yields ''.
+    Accepts a column name or a Column so composed operators (e.g. the
+    BPE encode fold) reuse THIS definition instead of inlining it."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.trim(F.regexp_replace(c, WS_CLASS, " "))
     return F.lower(t) if lower else t
 
 

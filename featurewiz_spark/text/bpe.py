@@ -44,9 +44,12 @@ independent iterative lowest-rank-first reference encoder.
 
 Word boundaries: each word ends with the end-of-word symbol ``</w>``
 (multi-char is fine — symbols are delimiter-separated). Whole
-documents encode as ONE sequence: no learned merge's LEFT element can
-contain ``</w>`` (inside a training word ``</w>`` is terminal, nothing
-follows it), so no replace ever matches across a word boundary.
+documents encode as ONE sequence, safe because no learned merge's LEFT
+element ends with ``</w>``: inside a training word the marker is
+terminal (nothing follows it), and the one way to spell such a pair
+anyway — literal ``</w>`` text inside a word — is excluded from pair
+counting by the trainer and REJECTED by the encode fold's guard, so no
+replace ever matches across a word boundary.
 
 Cross-engine: every stage has a DuckDB mirror generated from the same
 merge list / delimiter constants (``bpe_encode_sql``,
@@ -62,7 +65,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._norm import WS_CLASS, norm_text_sql, norm_tokens
+from ._norm import norm_text, norm_text_sql, norm_tokens
 
 # U+001F unit separator: stripped from input text on BOTH engines
 # before sequence construction, so "no symbol contains the delimiter"
@@ -167,14 +170,16 @@ def bpe_train(
     table. Deterministic: best pair = highest weighted count, ties
     broken by lexicographically smallest (left, right) pair.
     """
-    n = word_counts.limit(max_words + 1).count()
-    if n > max_words:
+    # ONE job: the guard is folded into the collect itself (limit
+    # max_words+1 bounds the driver either way) — a separate count()
+    # would re-execute the whole corpus word-count aggregate
+    rows = word_counts.select("word", "cnt").limit(max_words + 1).collect()
+    if len(rows) > max_words:
         raise ValueError(
             f"word_counts has > {max_words} rows; cap it first "
             f"(bpe_word_counts(..., max_words={max_words})) or raise "
             "max_words — bpe_train collects the table to the driver"
         )
-    rows = word_counts.select("word", "cnt").collect()
     counts = {}
     for r in rows:
         counts[r["word"]] = counts.get(r["word"], 0) + int(r["cnt"])
@@ -199,6 +204,12 @@ def train_from_counts(
         for syms, cnt in vocab.items():
             for i in range(len(syms) - 1):
                 p = (syms[i], syms[i + 1])
+                if p[0].endswith(EOW):
+                    # only spellable by literal '</w>' text inside a
+                    # word; a merge with this left element would merge
+                    # across word boundaries in the encode fold (the
+                    # guard there rejects it), so never learn one
+                    continue
                 pairs[p] = pairs.get(p, 0) + cnt
         if not pairs:
             break
@@ -232,6 +243,10 @@ def bpe_pair_counts(
         word_counts.withColumn("__syms", syms)
         .where(F.size("__syms") >= 2)
         .select(F.explode(pairs).alias("p"), F.col("cnt"))
+        # mirror train_from_counts: terminal-left pairs (left ends with
+        # the EOW marker — spellable only by literal '</w>' text) are
+        # never candidates, the encode fold cannot apply them
+        .where(~F.col("p.left").endswith(EOW))
         .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -253,18 +268,35 @@ def bpe_encode_tokens_col(
     empty/all-junk text → empty array (mirrored exactly in
     :func:`bpe_encode_sql`)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.trim(F.regexp_replace(c, WS_CLASS, " "))  # == _norm.norm_text
-    if lower:
-        t = F.lower(t)
-    t = F.replace(t, F.lit(DELIM), F.lit(""))
+    # strip the delimiter BEFORE the whitespace collapse so a
+    # whitespace-separated delimiter-only token vanishes (leaving one
+    # collapsed space) instead of leaving a double space that the
+    # space→</w> replace would turn into a spurious bare '</w>' token —
+    # this matches bpe_word_counts, which strips per token and drops
+    # the resulting empty words from the fit
+    t = norm_text(F.replace(c, F.lit(DELIM), F.lit("")), lower=lower)
     # every codepoint becomes a symbol: 'ab cd' -> '␟␟a␟␟b␟␟ ␟␟c␟␟d␟␟'
-    body = F.regexp_replace(t, "(.)", "$1" + DD)
+    # (?s): Java's default dot excludes U+2028/U+2029/U+0085 while
+    # RE2's excludes only \n — DOTALL makes both engines (and the
+    # trainer's per-codepoint tuple(word)) agree on every character
+    body = F.regexp_replace(t, "(?s)(.)", "$1" + DD)
     seq = F.concat(F.lit(DD), body, F.lit(EOW + DD))
     # the single-space symbol (norm collapsed runs) becomes </w>
     seq = F.replace(seq, F.lit(DELIM + " " + DELIM), F.lit(DELIM + EOW + DELIM))
     for a, b in merges:
         if DELIM in a or DELIM in b:
             raise ValueError("merge symbols must not contain the delimiter")
+        if a.endswith(EOW):
+            # a left element ending in the end-of-word marker is only
+            # spellable by literal '</w>' text inside a training word;
+            # applying it in the fold would merge ACROSS word
+            # boundaries (the previous word's terminal symbol + the
+            # next word's first). train_from_counts never emits one —
+            # reject lists from other trainers.
+            raise ValueError(
+                f"merge left element {a!r} ends with the end-of-word "
+                "marker — applying it would merge across word boundaries"
+            )
         seq = F.replace(
             seq,
             F.lit(DELIM + a + DD + b + DELIM),
@@ -303,15 +335,19 @@ def bpe_encode_sql(
     """DuckDB fragment: LIST of tokens mirroring
     :func:`bpe_encode_tokens_col` element-for-element, generated from
     the SAME merge list and delimiter constants."""
-    t = norm_text_sql(text_expr, lower=lower)
-    t = f"replace({t}, chr(31), '')"
-    body = rf"regexp_replace({t}, '(.)', '\1' || chr(31) || chr(31), 'g')"
+    t = norm_text_sql(f"replace({text_expr}, chr(31), '')", lower=lower)
+    body = rf"regexp_replace({t}, '(?s)(.)', '\1' || chr(31) || chr(31), 'g')"
     seq = f"chr(31) || chr(31) || {body} || '</w>' || chr(31) || chr(31)"
     seq = (
         f"replace({seq}, chr(31) || ' ' || chr(31), "
         f"chr(31) || '</w>' || chr(31))"
     )
     for a, b in merges:
+        if a.endswith(EOW):
+            raise ValueError(
+                f"merge left element {a!r} ends with the end-of-word "
+                "marker — applying it would merge across word boundaries"
+            )
         pa = a.replace("'", "''")
         pb = b.replace("'", "''")
         seq = (

@@ -105,37 +105,40 @@ def dsir_fit(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    tc, rc = counts(target, "tc"), counts(raw, "rc")
-    tot_t = tc.agg(F.sum("tc")).first()[0] or 0
-    tot_r = rc.agg(F.sum("rc")).first()[0] or 0
+    # ONE corpus scan per side: collect the <=m-row count tables once
+    # and derive the totals driver-side (they are the sums of the
+    # collected counts) — a separate agg job would re-execute the whole
+    # explode+groupBy lineage over the corpus
+    tc_map = {
+        int(r["b"]): int(r["tc"]) for r in counts(target, "tc").collect()
+    }
+    rc_map = {int(r["b"]): int(r["rc"]) for r in counts(raw, "rc").collect()}
+    tot_t, tot_r = sum(tc_map.values()), sum(rc_map.values())
     if tot_t == 0 or tot_r == 0:
         raise ValueError(
             "dsir_fit: the %s corpus produced zero grams — fit needs "
             "non-empty text on both sides"
             % ("target" if tot_t == 0 else "raw")
         )
+    # lambda stays IN-PLAN (a tiny local m-row job) so the ln/round
+    # arithmetic is the same engine path the SQL mirror reproduces
     spark = target.sparkSession
-    allb = spark.range(m).select(F.col("id").alias("b"))
+    local = spark.createDataFrame(
+        [(b, tc_map.get(b, 0), rc_map.get(b, 0)) for b in range(m)],
+        "b int, tc long, rc long",
+    )
     lam_col = (
         F.round(
-            F.log(
-                (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
-                / F.lit(float(tot_t + m))
-            )
-            - F.log(
-                (F.coalesce(F.col("rc"), F.lit(0)) + 1).cast("double")
-                / F.lit(float(tot_r + m))
-            ),
+            F.log((F.col("tc") + 1).cast("double") / F.lit(float(tot_t + m)))
+            - F.log((F.col("rc") + 1).cast("double") / F.lit(float(tot_r + m))),
             9,
         )
         + F.lit(0.0)
     ).alias("lam")
     lam = [0.0] * m
-    for row in allb.join(tc, "b", "left").join(rc, "b", "left").select(
-        "b", lam_col
-    ).collect():
+    for row in local.select("b", lam_col).collect():
         lam[int(row["b"])] = float(row["lam"])
-    return lam, {"t_grams": int(tot_t), "r_grams": int(tot_r), "m": m}
+    return lam, {"t_grams": tot_t, "r_grams": tot_r, "m": m}
 
 
 def _gumbel_key(id_col: str, logw, temperature: float):

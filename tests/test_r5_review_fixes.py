@@ -1,0 +1,110 @@
+"""Late-round-5 review findings: BPE cross-engine divergences
+(line-terminator dot semantics, EOW-left boundary merges, spurious
+bare-'</w>' from delimiter-only tokens) and the dsir/bpe double-scan
+fit jobs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+LS, PS, NEL = "\u2028", "\u2029", "\x85"  # line sep, para sep, NEL
+
+
+def test_bpe_dotall_line_separators_cross_engine(spark, duck):
+    """Java's default dot excludes U+2028/U+2029/U+0085 (RE2's only
+    \\n): without DOTALL, Spark glued those codepoints into the next
+    symbol while DuckDB and the trainer's tuple(word) split them."""
+    from featurewiz_spark.text.bpe import bpe_encode, bpe_encode_sql
+
+    docs = [(1, f"a{LS}b"), (2, f"x{NEL}y"), (3, f"p{PS}q"), (4, "ok")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(df, [], "text").collect()
+    }
+    # per-codepoint symbols, marker last — same split tuple(word) sees
+    assert got[1] == ["a", LS, "b", "</w>"]
+    assert got[2] == ["x", NEL, "y", "</w>"]
+    assert got[3] == ["p", PS, "q", "</w>"]
+    duck.execute("CREATE OR REPLACE TABLE bdocs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO bdocs VALUES (?, ?)", docs)
+    sql = bpe_encode_sql("text", [])
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(f"SELECT doc_id, {sql} FROM bdocs").fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_eow_left_merge_guarded_and_never_learned(spark):
+    """A merge whose left element ends with '</w>' (spellable only by
+    literal '</w>' text inside a word) would merge ACROSS word
+    boundaries in the encode fold — the trainer must never learn one
+    and the fold must reject lists from other trainers that do."""
+    from featurewiz_spark.text.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_encode_sql,
+        train_from_counts,
+    )
+
+    merges = train_from_counts({"m</w>b": 10, "c</d": 100}, 12)
+    assert merges and all(not a.endswith(EOW) for a, _ in merges)
+    df = spark.createDataFrame([(1, "cat bat")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="across word boundaries"):
+        bpe_encode(df, [("</w>", "b")], "text")
+    with pytest.raises(ValueError, match="across word boundaries"):
+        bpe_encode_sql("text", [("t</w>", "b")])
+
+
+def test_bpe_delimiter_only_token_no_spurious_eow(spark, duck):
+    """A whitespace-separated U+001F-only token must vanish entirely
+    (as bpe_word_counts drops it from the fit), not leave a bare
+    '</w>' marker for a word the trainer never counted."""
+    from featurewiz_spark.text.bpe import bpe_encode, bpe_encode_sql
+
+    rows = [(1, "a \x1f b"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(df, [], "text").collect()
+    }
+    assert got[1] == got[2] == ["a", "</w>", "b", "</w>"]
+    duck.execute("CREATE OR REPLACE TABLE ddocs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO ddocs VALUES (?, ?)", rows)
+    sql = bpe_encode_sql("text", [])
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(f"SELECT doc_id, {sql} FROM ddocs").fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_pair_counts_excludes_terminal_left(spark):
+    """bpe_pair_counts mirrors the trainer's terminal-left exclusion,
+    so the distributed round statistics agree with train_from_counts
+    even on words containing literal '</w>' text."""
+    from featurewiz_spark.text.bpe import EOW, bpe_pair_counts
+
+    wc = spark.createDataFrame(
+        [("m</w>b", 10), ("cat", 3)], "word string, cnt long"
+    )
+    rows = bpe_pair_counts(
+        wc, [("<", "/"), ("</", "w"), ("</w", ">")]
+    ).collect()
+    assert rows and all(not r["left"].endswith(EOW) for r in rows)
+
+
+def test_dsir_fit_single_pass_totals_unchanged(spark):
+    """dsir_fit now derives the gram totals from the collected <=m-row
+    count tables (one corpus scan per side) — same lam, same stats."""
+    from featurewiz_spark.text.dsir import dsir_fit
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"), (3, "cat cat")],
+        "doc_id long, text string",
+    )
+    target = docs.where(F.col("doc_id") == 3)
+    lam, stats = dsir_fit(target, docs, m=32)
+    assert len(lam) == 32 and stats["m"] == 32
+    # target grams: cat,cat + bigram 'cat cat' = 3; raw = 5+5+3 grams
+    assert stats["t_grams"] == 3 and stats["r_grams"] == 13
