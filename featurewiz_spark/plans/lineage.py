@@ -98,27 +98,47 @@ def run_resumable(
     stage: str,
     keys: list[str],
     n_buckets: int = 16,
+    chunk_buckets: int | None = None,
 ) -> DataFrame:
     """Execute `transform(bucket_subset)` only for buckets missing from
     the manifest; append results + manifest rows. Returns the full stage
     output (all buckets). Kill/restart-safe: a bucket either has its
-    data AND manifest row, or is recomputed from scratch.
+    data AND manifest row, or is recomputed from scratch (the data write
+    commits BEFORE the manifest append, so a manifest row never points
+    at uncommitted data).
+
+    ``chunk_buckets``: commit granularity. None (default) runs every
+    missing bucket as ONE job — cheapest, but a crash mid-run loses all
+    in-flight progress (Spark's commit protocol is all-or-nothing per
+    write job). Setting it (e.g. n_buckets // 8) processes the todo
+    list in chunks, each with its own data-write + manifest-append —
+    a kill preserves every completed chunk and the rerun recomputes
+    only the rest, at the cost of one job submission per chunk. At
+    cluster scale, size chunks so each is several minutes of work:
+    progress checkpoints are then cheap relative to the compute.
 
     Bucket-granular writes: data lands under __bucket=N directories via
     dynamic partition overwrite, so a retry replaces only its bucket.
     """
     todo = resume_plan(spark, out_dir, stage, n_buckets)
     if todo:
-        b = _bucketed(source, keys, n_buckets).filter(F.col("__bucket").isin(todo))
-        out = transform(b)
-        if "__bucket" not in out.columns:
-            out = _bucketed(out, keys, n_buckets)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy("__bucket").parquet(
-            os.path.join(out_dir, stage)
-        )
-        man = _pad_manifest(spark, _bucket_manifest(out, stage), stage, todo)
-        man.write.mode("append").parquet(os.path.join(out_dir, MANIFEST_DIR, stage))
+        step = len(todo) if not chunk_buckets else max(1, int(chunk_buckets))
+        for i in range(0, len(todo), step):
+            chunk = todo[i : i + step]
+            b = _bucketed(source, keys, n_buckets).filter(
+                F.col("__bucket").isin(chunk)
+            )
+            out = transform(b)
+            if "__bucket" not in out.columns:
+                out = _bucketed(out, keys, n_buckets)
+            out.write.mode("overwrite").partitionBy("__bucket").parquet(
+                os.path.join(out_dir, stage)
+            )
+            man = _pad_manifest(spark, _bucket_manifest(out, stage), stage, chunk)
+            man.write.mode("append").parquet(
+                os.path.join(out_dir, MANIFEST_DIR, stage)
+            )
     return spark.read.parquet(os.path.join(out_dir, stage))
 
 

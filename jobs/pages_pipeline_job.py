@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--no-extract", action="store_true", help="skip html→text extraction")
     ap.add_argument("--resume-dir", default=None, help="lineage/checkpoint dir for resumable runs")
     ap.add_argument("--buckets", type=int, default=256, help="lineage bucket count")
+    ap.add_argument("--resume-chunk", type=int, default=None,
+                    help="buckets per committed chunk (crash-durable "
+                         "progress granularity); default = all missing "
+                         "buckets in one job")
     ap.add_argument("--table-format", default="parquet",
                     choices=("parquet", "iceberg", "delta"),
                     help="input/output table format; iceberg/delta need "
@@ -80,6 +84,7 @@ def main() -> None:
             stage="pages_features",
             keys=["url"],
             n_buckets=args.buckets,
+            chunk_buckets=args.resume_chunk,
         )
         # __bucket is lineage-internal (partition-discovered on the
         # resume read); dropping it keeps resume and non-resume output

@@ -108,3 +108,39 @@ def test_dsir_fit_single_pass_totals_unchanged(spark):
     assert len(lam) == 32 and stats["m"] == 32
     # target grams: cat,cat + bigram 'cat cat' = 3; raw = 5+5+3 grams
     assert stats["t_grams"] == 3 and stats["r_grams"] == 13
+
+
+def test_run_resumable_chunked_commits(spark, tmp_path):
+    """chunk_buckets commits progress per chunk (data write BEFORE
+    manifest append), and the chunked output equals the one-shot run."""
+    from featurewiz_spark.plans.lineage import (
+        resume_plan,
+        run_resumable,
+        validate_stage,
+    )
+
+    src = spark.createDataFrame(
+        [(f"u{i % 37}", i, float(i)) for i in range(500)],
+        "user string, ts long, v double",
+    )
+
+    def transform(df):
+        return df.withColumn("v2", F.col("v") * 2)
+
+    d1, d2 = str(tmp_path / "chunked"), str(tmp_path / "oneshot")
+    a = run_resumable(
+        spark, src, transform, d1, "s", ["user"], n_buckets=8, chunk_buckets=3
+    )
+    b = run_resumable(spark, src, transform, d2, "s", ["user"], n_buckets=8)
+    assert resume_plan(spark, d1, "s", 8) == []
+    assert validate_stage(spark, d1, "s").count() == 0
+    ka = {(r["user"], r["ts"], r["v2"]) for r in a.collect()}
+    kb = {(r["user"], r["ts"], r["v2"]) for r in b.collect()}
+    assert ka == kb and len(ka) == 500
+    # ceil(8/3) = 3 chunks -> manifest accumulated via >=3 append jobs;
+    # every bucket has exactly ONE manifest row (no dup credit)
+    import os
+
+    man = spark.read.parquet(os.path.join(d1, "_manifest", "s"))
+    per_bucket = man.groupBy("__bucket").count().collect()
+    assert len(per_bucket) == 8 and all(r["count"] == 1 for r in per_bucket)
