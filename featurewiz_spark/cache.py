@@ -38,6 +38,21 @@ def scoped_persist(df, storage_level=None):
     return df
 
 
+def release_one(df) -> None:
+    """Unpersist ONE scoped cache and drop its registry entry — for
+    operators that supersede an intermediate mid-loop (iterative
+    algorithms): plain ``df.unpersist()`` would leave a dead handle in
+    the registry until the next release_caches()."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        _SCOPED.remove(df)
+    except ValueError:
+        pass
+
+
 def release_caches() -> int:
     """Unpersist every registered cache (newest first). Returns the
     number released. Safe to call repeatedly / with nothing cached."""

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from featurewiz_spark.cache import scoped_persist
+from featurewiz_spark.cache import release_one, scoped_persist
 
 
 def connected_components(
@@ -75,7 +75,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        release_one(labels)  # also drops the superseded registry entry
         labels = new_labels
         if changed == 0:
             return labels
@@ -101,6 +101,13 @@ def attach_components(
     ``canonical_col`` (1 for the one survivor per cluster — the min
     id) to ``docs``. ``docs`` minus the non-canonical rows IS the
     deduplicated corpus."""
+    clash = set(docs.columns) & {"component", out_col, canonical_col}
+    if clash:
+        raise ValueError(
+            f"attach_components: docs already has column(s) {sorted(clash)} "
+            "('component' is used internally) — rename them or pick "
+            "different out_col/canonical_col"
+        )
     comp = connected_components(pairs, a=a, b=b, max_iter=max_iter)
     out = docs.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"

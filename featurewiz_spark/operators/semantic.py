@@ -145,14 +145,33 @@ def semantic_dedup(
     guards the division, the engines' NaN orderings differ): exclude
     them upstream."""
     if cluster_col is None:
+        if "cluster" in df.columns:
+            raise ValueError(
+                "semantic_dedup: df already has a 'cluster' column — pass "
+                "cluster_col='cluster' to use it, or rename it first"
+            )
         seeds = seed_vectors(df, id_col, vec_col, n_clusters)
         assigned = assign_to_seeds(df, seeds, vec_col, "cluster")
     else:
-        assigned = df.withColumnRenamed(cluster_col, "cluster")
+        if cluster_col != "cluster" and "cluster" in df.columns:
+            raise ValueError(
+                "semantic_dedup: 'cluster' is reserved for the assignment "
+                f"column; rename the existing 'cluster' or pass it as "
+                f"cluster_col instead of {cluster_col!r}"
+            )
+        assigned = (
+            df
+            if cluster_col == "cluster"
+            else df.withColumnRenamed(cluster_col, "cluster")
+        )
+    # output types follow the INPUT schema: hardcoding (long, int) would
+    # silently wrap hash-derived cluster ids >= 2^31 in the int32 cast
+    # and crash on non-long id columns (string doc hashes sort/compare
+    # fine — the min-id rule only needs an ordering)
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("cluster", T.IntegerType()),
+            T.StructField(id_col, assigned.schema[id_col].dataType),
+            T.StructField("cluster", assigned.schema["cluster"].dataType),
             T.StructField("keep", T.BooleanType()),
         ]
     )
@@ -187,8 +206,8 @@ def semantic_dedup(
                 keep[s:e] &= ~((np.round(blk, 9) >= thr) & mask).any(axis=1)
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].astype("int64"),
-                "cluster": pdf["cluster"].astype("int32"),
+                id_col: pdf[id_col],  # pass through, Arrow enforces schema
+                "cluster": pdf["cluster"],
                 "keep": keep,
             }
         )
@@ -270,7 +289,16 @@ def random_projection(
         row = df.select(F.size(F.col(vec_col)).alias("n")).first()
         if row is None:
             raise ValueError("random_projection: empty input, pass in_dim")
-        in_dim = int(row["n"])
+        n = row["n"]
+        # size(NULL) is NULL under ANSI (-1 legacy); an empty array is 0
+        # — either way the peek learned nothing, so fail with the cure
+        # instead of building a degenerate 0-term projection
+        if n is None or int(n) <= 0:
+            raise ValueError(
+                "random_projection: first row's vector is NULL/empty — "
+                "pass in_dim explicitly"
+            )
+        in_dim = int(n)
     inv = 1.0 / math.sqrt(out_dim)
     out = df
     for d in range(out_dim):

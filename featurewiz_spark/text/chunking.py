@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
+from featurewiz_spark.text._norm import (
+    h60,
+    h60_sql,
+    norm_tokens,
+    norm_tokens_sql,
+)
 
 
 def chunk_documents(
@@ -146,12 +151,9 @@ def pack_sequences(
         if c in docs.columns:
             raise ValueError(f"pack_sequences: column {c!r} exists")
     _, toks = norm_tokens(text_col)
-    shard = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("long"),
-        F.lit(n_shards),
-    ).cast("int")
+    shard = F.pmod(h60(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+        "int"
+    )
     d = docs.withColumn("pack_shard", shard).withColumn(
         "n_tokens", F.size(toks).cast("long")
     )
@@ -191,10 +193,7 @@ def pack_sequences_sql(
     hash, same ordered window, exact integer arithmetic (window sums
     cast from HUGEINT back to BIGINT)."""
     t_sql, w_sql = norm_tokens_sql(text_col)
-    shard = (
-        f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 15))::BIGINT"
-        f" % {n_shards})::INT"
-    )
+    shard = f"(({h60_sql(f'{id_col}::VARCHAR')}) % {n_shards})::INT"
     ntok = (
         f"CASE WHEN {t_sql} = '' OR {text_col} IS NULL THEN 0"
         f" ELSE len({w_sql}) END::BIGINT"

@@ -23,7 +23,11 @@ Scale shape at 10^12 docs:
 - N: a one-row aggregate cross-joined in (fully lazy — no driver
   action, BroadcastNestedLoopJoin of a single row is free).
 - idf join: token -> (df) table, usually broadcastable
-  (vocabulary-bounded); falls back to a shuffle join when not.
+  (vocabulary-bounded). ``broadcast_idf`` is an explicit hint Spark
+  HONORS regardless of size — for corpora whose distinct-token table
+  exceeds the broadcast limit (hapax URLs/typos at web scale), pass
+  ``broadcast_idf=False`` to use a shuffle join instead; there is no
+  silent fallback.
 - top-k: row_number window partitioned BY DOCUMENT — partition size is
   the doc's distinct-token count, never a hot key.
 """

@@ -144,3 +144,118 @@ def test_run_resumable_chunked_commits(spark, tmp_path):
     man = spark.read.parquet(os.path.join(d1, "_manifest", "s"))
     per_bucket = man.groupBy("__bucket").count().collect()
     assert len(per_bucket) == 8 and all(r["count"] == 1 for r in per_bucket)
+
+
+# ------------------------------------------------------------------
+# Module-sweep review findings: semantic/components/chunking/tfidf
+# ------------------------------------------------------------------
+
+
+def test_semantic_dedup_schema_follows_input(spark):
+    """Output (id, cluster) types follow the INPUT schema: long cluster
+    ids from a hash assignment must not wrap through int32, string ids
+    must work (the min-id rule only needs an ordering)."""
+    from featurewiz_spark.operators.semantic import semantic_dedup
+
+    big = 2**31 + 7  # would wrap negative through int32
+    rows = [
+        ("docB", [1.0, 0.0], big),
+        ("docA", [1.0, 0.0], big),
+        ("docC", [0.0, 1.0], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, cell long"
+    )
+    out = semantic_dedup(df, cluster_col="cell", threshold=0.95)
+    assert dict(out.dtypes)["cluster"] == "bigint"
+    assert dict(out.dtypes)["vec_id"] == "string"
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    assert got["docA"] == (big, True)   # min string id survives
+    assert got["docB"] == (big, False)  # cosine 1.0 vs smaller id
+    assert got["docC"] == (5, True)
+
+
+def test_semantic_dedup_cluster_clash_guards(spark):
+    from featurewiz_spark.operators.semantic import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0, 9)],
+        "vec_id long, embedding array<double>, cluster int, cell int",
+    )
+    with pytest.raises(ValueError, match="already has a 'cluster'"):
+        semantic_dedup(df)  # built-in assignment would collide
+    with pytest.raises(ValueError, match="reserved"):
+        semantic_dedup(df, cluster_col="cell")
+    # passing the existing column AS the assignment is fine
+    out = semantic_dedup(df.drop("cell"), cluster_col="cluster")
+    assert out.count() == 1
+
+
+def test_attach_components_clash_guard(spark):
+    from featurewiz_spark.operators.components import attach_components
+
+    docs = spark.createDataFrame([(1, 0)], "doc_id long, component int")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="component"):
+        attach_components(docs, pairs)
+
+
+def test_connected_components_releases_superseded_rounds(spark):
+    """Each superseded round's labels must leave the scoped-cache
+    registry when unpersisted mid-loop — only the final labels (and
+    the edges) stay registered for the caller's release."""
+    from featurewiz_spark import cache
+    from featurewiz_spark.operators.components import connected_components
+
+    cache.release_caches()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    out = connected_components(pairs)
+    assert out.count() == 7
+    # registry holds exactly the live handles: edges + final labels
+    assert len(cache._SCOPED) == 2
+    assert cache.release_caches() == 2
+
+
+def test_random_projection_null_first_vector_raises(spark):
+    from featurewiz_spark.operators.semantic import random_projection
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pass in_dim"):
+        random_projection(df)
+    # explicit in_dim works over the same frame
+    out = random_projection(df, in_dim=2, out_dim=2)
+    assert out.where(F.col("proj_0").isNotNull()).count() == 1
+
+
+def test_pack_sequences_shard_uses_shared_h60(spark, duck, tmp_path):
+    """Shard assignment must equal pmod(h60(id), n_shards) on both
+    engines (the ONE md5-60 definition in _norm)."""
+    from featurewiz_spark.text._norm import h60
+    from featurewiz_spark.text.chunking import pack_sequences, pack_sequences_sql
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, budget=8, n_shards=4)
+    chk = out.withColumn(
+        "want", F.pmod(h60(F.col("doc_id").cast("string")), F.lit(4)).cast("int")
+    )
+    assert chk.where(F.col("pack_shard") != F.col("want")).count() == 0
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    duck.sql(f"CREATE VIEW pdocs AS SELECT * FROM '{p}/*.parquet'")
+    mirror = {
+        (r[0], r[1])
+        for r in duck.sql(
+            "SELECT doc_id, pack_shard FROM ("
+            + pack_sequences_sql("pdocs", budget=8, n_shards=4)
+            + ")"
+        ).fetchall()
+    }
+    got = {(r["doc_id"], r["pack_shard"]) for r in out.collect()}
+    assert got == mirror
