@@ -86,8 +86,13 @@ def train_quality_classifier(
     """
     y = F.col(label_col).cast("int")
     toks = _tokens(text_col)
+    # NULL-label rows must be filtered BEFORE the explode: their counts
+    # would sum to NULL (harmless) but their tokens would still create
+    # model rows and inflate the vocabulary V, shifting every token's
+    # smoothed log-odds — the docstring's "train nothing" contract
+    labeled = corpus.where(F.col(label_col).isNotNull())
     model = (
-        corpus.select(y.alias("__y"), F.explode(toks).alias("__tok"))
+        labeled.select(y.alias("__y"), F.explode(toks).alias("__tok"))
         .groupBy(_h60(F.col("__tok")).alias("tok_h"))
         .agg(
             F.sum("__y").alias("c_pos"),
@@ -100,7 +105,7 @@ def train_quality_classifier(
         F.sum("c_neg").alias("nn"),
         F.count(F.lit(1)).alias("v"),
     ).collect()[0]
-    docs = corpus.agg(
+    docs = labeled.agg(
         F.sum(y).alias("dp"), F.sum(F.lit(1) - y).alias("dn")
     ).collect()[0]
     if not docs["dp"] or not docs["dn"]:
@@ -183,13 +188,13 @@ def quality_score_sql(
     hash / smoothing definitions as the Spark path."""
     train_src = train_src or docs_src
     kf = float(k)
-    _, w_sql = norm_tokens_sql(text_col)
-    t_sql, _ = norm_tokens_sql(text_col)
+    t_sql, w_sql = norm_tokens_sql(text_col)
     return f"""
 WITH __qc_train AS (
     SELECT ({label_expr})::INT AS y,
            {w_sql} AS w, {t_sql} AS t
-    FROM {train_src}),
+    FROM {train_src}
+    WHERE ({label_expr}) IS NOT NULL),
 __qc_docs AS (
     SELECT {id_col}, {w_sql} AS w, {t_sql} AS t
     FROM {docs_src}),
@@ -204,7 +209,13 @@ __qc_tot AS (
            count(*) + 1 AS v
     FROM __qc_model),
 __qc_prior AS (
-    SELECT ln(sum(y)::DOUBLE / sum(1 - y)) AS prior
+    -- mirror the Spark path's one-class ValueError: DuckDB returns
+    -- NULL for 0/0 division, which would silently NULL every score
+    SELECT CASE
+             WHEN coalesce(sum(y), 0) = 0 OR coalesce(sum(1 - y), 0) = 0
+             THEN error('quality_score_sql: both classes must be non-empty')
+             ELSE ln(sum(y)::DOUBLE / sum(1 - y))
+           END AS prior
     FROM __qc_train),
 __qc_pairs AS (
     SELECT {id_col}, {h60_sql("tok")} AS tok_h

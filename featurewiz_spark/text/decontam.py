@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from featurewiz_spark.text._norm import norm_tokens, norm_tokens_sql
+from featurewiz_spark.text._norm import (
+    h60,
+    h60_sql,
+    norm_tokens,
+    norm_tokens_sql,
+)
 
 
 def _gram_hashes(text_col: str, n: int):
@@ -41,12 +46,7 @@ def _gram_hashes(text_col: str, n: int):
         F.sequence(F.lit(0), F.size(toks) - n),
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, n), " ")), 1, 15),
-            16,
-            10,
-        ).cast("long"),
+        idx, lambda i: h60(F.array_join(F.slice(toks, i + 1, n), " "))
     )
 
 
@@ -82,6 +82,13 @@ def decontaminate(
     """
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if mode == "flag":
+        clash = {"is_contaminated", "n_contaminated_grams"} & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"decontaminate: output columns exist: {sorted(clash)} — "
+                "rename them before re-flagging against another benchmark"
+            )
     bg = benchmark_grams(bench, bench_text_col or text_col, n)
     if broadcast_bench:
         bg = F.broadcast(bg)
@@ -124,9 +131,10 @@ def decontaminate_sql(
 
     def grams(src: str, col: str, ident: str) -> str:
         t_sql, w_sql = norm_tokens_sql(col)
+        gh = h60_sql(f"array_to_string(list_slice(w, i, i+{n}-1), ' ')")
         return f"""
     SELECT {ident},
-           ('0x' || substr(md5(array_to_string(list_slice(w, i, i+{n}-1), ' ')), 1, 15))::BIGINT AS gram_h
+           {gh} AS gram_h
     FROM (SELECT {ident},
                  {w_sql} AS w,
                  {t_sql} AS t

@@ -72,6 +72,25 @@ def _bigrams(toks):
     )
 
 
+def _bigram_structs(toks):
+    """(big, pre) struct per adjacent pair — scoring needs BOTH the
+    bigram and its prefix token; carrying the prefix from the token
+    array avoids a per-bigram regexp re-derivation on the scan's hot
+    path (the SQL mirror already uses w[i] directly)."""
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ).alias("big"),
+            F.element_at(toks, i).alias("pre"),
+        ),
+    )
+
+
 def train_bigram_lm(
     corpus: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -114,6 +133,8 @@ def add_lm_score(
     reuse both tables instead of re-tokenizing the reference corpus
     per consumer. Callers release via cache.release_caches() /
     cache_scope() after materializing (see featurewiz_spark.cache)."""
+    if out_col in docs.columns:
+        raise ValueError(f"add_lm_score: column {out_col!r} already exists")
     unigram_counts = scoped_persist(unigram_counts)
     bigram_counts = scoped_persist(bigram_counts)
     if vocab_size is None:
@@ -124,11 +145,11 @@ def add_lm_score(
         uni = F.broadcast(uni)
 
     pairs = docs.select(
-        F.col(id_col), F.explode(_bigrams(toks)).alias("__big")
+        F.col(id_col), F.explode(_bigram_structs(toks)).alias("__bp")
     ).select(
         id_col,
-        _h60(F.col("__big")).alias("big_h"),
-        _h60(F.regexp_extract(F.col("__big"), r"^([^ ]*) ", 1)).alias("tok_h"),
+        _h60(F.col("__bp.big")).alias("big_h"),
+        _h60(F.col("__bp.pre")).alias("tok_h"),
     )
     scored = (
         pairs.join(bigram_counts, "big_h", "left")

@@ -259,3 +259,98 @@ def test_pack_sequences_shard_uses_shared_h60(spark, duck, tmp_path):
     }
     got = {(r["doc_id"], r["pack_shard"]) for r in out.collect()}
     assert got == mirror
+
+
+# ------------------------------------------------------------------
+# Text-module sweep findings: classifier/lm/decontam
+# ------------------------------------------------------------------
+
+
+def test_classifier_null_labels_train_nothing(spark):
+    """NULL-label rows must not inflate the vocabulary: a NULL-labeled
+    doc with otherwise-unseen tokens must leave model/vocab/scores
+    identical to training without that row."""
+    from featurewiz_spark.text.classifier import (
+        add_quality_score,
+        train_quality_classifier,
+    )
+
+    base = [
+        (1, "good clean prose", True),
+        (2, "solid useful text", True),
+        (3, "spam spam junk", False),
+        (4, "junk junk junk", False),
+    ]
+    extra = [(5, "zebra quark xylophone unseen tokens", None)]
+    schema = "doc_id long, text string, label boolean"
+    m1, s1 = train_quality_classifier(
+        spark.createDataFrame(base, schema), "label"
+    )
+    m2, s2 = train_quality_classifier(
+        spark.createDataFrame(base + extra, schema), "label"
+    )
+    assert s1 == s2  # vocab / token totals / doc priors identical
+    assert m2.where(F.col("c_pos").isNull() & F.col("c_neg").isNull()).count() == 0
+    score = {
+        r["doc_id"]: r["quality_score"]
+        for r in add_quality_score(
+            spark.createDataFrame(base, schema), m2, s2
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["quality_score"]
+        for r in add_quality_score(
+            spark.createDataFrame(base, schema), m1, s1
+        ).collect()
+    }
+    assert score == want
+
+
+def test_quality_score_sql_one_class_errors(duck):
+    from featurewiz_spark.text.classifier import quality_score_sql
+
+    duck.execute("CREATE OR REPLACE TABLE qdocs(doc_id BIGINT, text VARCHAR)")
+    duck.execute("INSERT INTO qdocs VALUES (1, 'all the same class')")
+    sql = quality_score_sql("qdocs", "TRUE")
+    with pytest.raises(Exception, match="both classes"):
+        duck.execute(sql).fetchall()
+
+
+def test_add_lm_score_clash_guard_and_prefix_equivalence(spark):
+    """out_col clash raises; the struct-carried prefix scores exactly
+    like the old regexp-derived one (same bits per token)."""
+    from featurewiz_spark import cache
+    from featurewiz_spark.text.lm import add_lm_score, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    uni, big = train_bigram_lm(docs)
+    out = add_lm_score(docs, uni, big)
+    with pytest.raises(ValueError, match="already exists"):
+        add_lm_score(out, uni, big)
+    got = {r["doc_id"]: r["lm_bits_per_token"] for r in out.collect()}
+    assert got[3] is None  # < 2 tokens
+    # independent check for doc 2: bigram 'the dog' count 1, prefix
+    # 'the' count 3 in train corpus; V = distinct unigrams + 1
+    import math
+
+    v = uni.count() + 1
+    want = -math.log2((1 + 0.1) / (3 + 0.1 * v))
+    assert abs(got[2] - round(want, 6)) < 1e-9
+    cache.release_caches()
+
+
+def test_decontaminate_flag_clash_guard(spark):
+    from featurewiz_spark.text.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h", 0)],
+        "doc_id long, text string, is_contaminated int",
+    )
+    bench = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="output columns exist"):
+        decontaminate(docs, bench)
+    # drop mode is unaffected by the pre-existing column
+    assert decontaminate(docs, bench, mode="drop").count() == 1
