@@ -2091,29 +2091,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
+        # q21/q22: word stats over the shared tokenizer (collapse+trim,
+        # empty -> 0 words) and the explicit-WS punct class — a bare \s
+        # in either engine's class is Java-vs-RE2 divergent on \x0B
         "q21_text_quality": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS tn
+                FROM documents),
+            w AS (
+                SELECT doc_id, text, tn,
+                       CASE WHEN tn = '' THEN 0
+                            ELSE len(string_split(tn, ' ')) END AS n_words
+                FROM n)
             SELECT doc_id,
                    length(text) AS q_n_chars,
-                   len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS q_n_words,
-                   round((length(text) - len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) + 1)
-                         / greatest(len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')), 1), 6) AS mean_word_len,
-                   round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
+                   n_words AS q_n_words,
+                   round((length(tn) - greatest(n_words - 1, 0))
+                         / greatest(n_words, 1), 6) AS mean_word_len,
+                   round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_ \\t\\n\\x0B\\f\\r]', '', 'g')))
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(list_filter(
-                           list_transform(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> lower(x)),
+                           list_transform(CASE WHEN tn = '' THEN [] ELSE string_split(tn, ' ') END, x -> lower(x)),
                            x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
-                         / greatest(len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')), 1), 6) AS stopword_ratio
-            FROM documents
+                         / greatest(n_words, 1), 6) AS stopword_ratio
+            FROM w
         """,
         "q22_token_counts": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS tn
+                FROM documents)
             SELECT doc_id,
-                   len(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS tok_ws,
-                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS tok_regex
-            FROM documents
+                   CASE WHEN tn = '' THEN 0
+                        ELSE len(string_split(tn, ' ')) END AS tok_ws,
+                   len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]')) AS tok_regex
+            FROM n
         """,
         "q23_fingerprint": """
             SELECT doc_id,
-                   md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_md5
+                   md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS fp_md5
             FROM documents
         """,
         "q24_split_field": """

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featurewiz_spark.text._norm import h60, h60_sql
+
 
 def split_n_ways(
     df: DataFrame,
@@ -44,6 +46,8 @@ def split_n_ways(
     bounds[-1] = 1.0
     if how == "random":
         return df.randomSplit(list(weights), seed=seed)
+    if how in ("sequential", "stratified") and "__pr" in df.columns:
+        raise ValueError("split_n_ways: column '__pr' is used internally")
     if how == "sequential":
         if not time_col:
             raise ValueError("sequential split needs time_col")
@@ -98,6 +102,12 @@ def stratified_sample(
     # NULL class a first-class stratum for both methods (identical
     # partitions for non-null values, so the hash-mode selected set is
     # unchanged on null-free data — q53 parity).
+    clash = {"__strata", "__rn", "__n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"stratified_sample: column(s) {sorted(clash)} are used "
+            "internally — rename them"
+        )
     skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("__fw_null__"))
     kdf = df.withColumn("__strata", skey)
     counts = {r[0]: r[1] for r in kdf.groupBy("__strata").count().collect()}
@@ -118,9 +128,7 @@ def stratified_sample(
         raise ValueError("method='hash' requires hash_col (a unique row id)")
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = h60(F.col(hash_col).cast("string"))
     w = Window.partitionBy("__strata").orderBy(h, F.col(hash_col))
     cnt_w = Window.partitionBy("__strata")
     return (
@@ -185,18 +193,23 @@ def temperature_mixing_sample(
     z = 0.0
     for s in sorted(powed):  # pinned association order (mirror matches)
         z += powed[s]
+    # HALF-AWAY rounding to match DuckDB's round() — Python's round()
+    # is banker's half-even, and an exact-tie rate (power-of-two counts)
+    # would round differently per engine, flipping every id whose hash
+    # coin lands in the gap. floor(x*p + 0.5)/p reproduces DuckDB's
+    # algorithm including the same double-scaling imprecision.
+    def _round_away(x: float) -> float:
+        p = 10.0 ** rounding
+        return math.floor(x * p + 0.5) / p
+
     rates = {
-        s: round(min(1.0, target_frac * tot * (powed[s] / z) / counts[s]),
-                 rounding)
+        s: _round_away(min(1.0, target_frac * tot * (powed[s] / z) / counts[s]))
         for s in counts
     }
     mapping = F.create_map(
         *[x for s in sorted(rates) for x in (F.lit(s), F.lit(rates[s]))]
     )
-    hash_frac = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("long") / F.lit(float(1 << 60))
-    )
+    hash_frac = h60(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
     return df.withColumn("mix_rate", mapping[F.col(strata_col)]).withColumn(
         "mix_keep",
         F.when(F.col("mix_rate").isNotNull(), hash_frac < F.col("mix_rate")),
@@ -225,10 +238,7 @@ def temperature_mixing_sql(
     pw = (
         f"sqrt(n)" if temperature == 0.5 else f"pow(n, {temperature!r})"
     )
-    hash_frac = (
-        f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 15))::BIGINT"
-        f" / {float(1 << 60)!r})"
-    )
+    hash_frac = f"(({h60_sql(f'{id_col}::VARCHAR')}) / {float(1 << 60)!r})"
     return f"""
 WITH __tm_counts AS (
     SELECT {strata_col} AS s, count(*) AS n

@@ -67,6 +67,7 @@ def duplicate_segment_filter(
     min_docs: int = 2,
     normalize: bool = True,
     out_col: str = "text_clean",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Remove segments that occur in >= ``min_docs`` DISTINCT documents
     (cross-corpus boilerplate), keeping surviving segments in original
@@ -95,10 +96,17 @@ def duplicate_segment_filter(
             F.split(F.col(text_col), sep),
             lambda s: F.trim(s) != "",
         )
-        join_sep = "\n" if sep == r"\n" else " "
+        # ANY separator regex means line/paragraph structure — reassemble
+        # with newlines (the old exact-match on the literal r"\n" fell
+        # back to ' ' for CRLF-safe patterns like r"\r?\n", silently
+        # flattening every document's line structure). Override with
+        # join_sep for exotic separators. For CRLF corpora pass
+        # sep=r"\r?\n": with a bare r"\n" the trailing \r stays on each
+        # segment, so identical boilerplate hashes differently.
+        jsep = "\n" if join_sep is None else join_sep
     else:
         chunks = _chunk_segments(text_col, chunk_tokens)
-        join_sep = " "
+        jsep = " " if join_sep is None else join_sep
 
     segs = df.select(
         F.col(id_col), F.posexplode(chunks).alias("__pos", "__seg")
@@ -129,7 +137,7 @@ def duplicate_segment_filter(
                 ),
                 lambda x: x["__seg"],
             ),
-            join_sep,
+            jsep,
         ).alias(out_col),
         F.count(F.lit(1)).alias("n_segments"),
         (F.count(F.lit(1)) - F.sum(F.col("__keep").cast("long"))).alias(
@@ -216,6 +224,17 @@ def add_repetition_signals(
     — pivoted back by kind and joined to the input on ``id_col``. Every
     aggregate gets map-side partials; nothing is per-key sorted.
     """
+    out_cols = {"rep_dup_chunk_frac", "rep_dup_word_frac"} | {
+        f"rep_top{nn}gram_frac" for nn in ngram_ns
+    }
+    clash = (out_cols | {c for c in df.columns if c.startswith("__")}) & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"add_repetition_signals: column(s) {sorted(clash)} collide "
+            "with outputs / the internal '__' namespace — rename them"
+        )
     t = norm_text(text_col, lower=False)
     toks = F.split(F.lower(t), " ")
     n = F.size(toks)

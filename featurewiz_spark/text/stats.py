@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from featurewiz_spark.text._norm import WS_CLASS
+from featurewiz_spark.text._norm import WS_CLASS, norm_text, norm_tokens
+
+# negated char class listing the WS chars explicitly: a bare \s inside
+# would be Java-vs-RE2 divergent (vertical tab), silently changing the
+# DuckDB oracle's ratio on \x0B documents — the exact trap WS_CLASS
+# documents
+_PUNCT_CLASS = r"[^\p{L}\p{N}_ \t\n\x0B\f\r]"
+_REGEX_TOK = r"\w+|[^\w \t\n\x0B\f\r]"
 
 # small multilingual stopword lists for the n-gram/stopword-hit heuristic
 _STOPWORDS = {
@@ -44,9 +51,16 @@ def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     exactly equal on the full fixture corpus + WS edge rows
     (test_text), ~25% cheaper per execution."""
     t = F.col(text_col)
-    words = F.split(t, WS_CLASS)
+    # word stats over the SHARED tokenizer (collapse runs, trim, empty
+    # -> []): the raw split counted empty edge tokens (' hi ' -> 3
+    # "words") and the (n_chars - n_words + 1) mean assumed exactly one
+    # separator char, inflating mean word length on newline/indent-heavy
+    # pages — a systematic quality-gate bias
+    t_norm, toks = norm_tokens(text_col, lower=False)
     n_chars = F.length(t)
-    n_words = F.size(words)
+    n_words = F.size(toks)
+    # token chars = normalized length minus the n_words-1 single spaces
+    word_chars = F.length(t_norm) - F.greatest(n_words - 1, F.lit(0))
     sw_pat = r"(?<=^|[ \t\n\x0B\f\r])(?:%s)(?=[ \t\n\x0B\f\r]|$)" % "|".join(
         _STOPWORDS["en"]
     )
@@ -55,9 +69,9 @@ def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "q_n_chars": n_chars,
             "q_n_words": n_words,
-            "q_mean_word_len": (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)),
+            "q_mean_word_len": word_chars / F.greatest(n_words, F.lit(1)),
             "q_punct_ratio": (
-                n_chars - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
+                n_chars - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
             ) / F.greatest(n_chars, F.lit(1)),
             "q_digit_ratio": (
                 n_chars - F.length(F.regexp_replace(t, r"\p{Nd}", ""))
@@ -74,10 +88,11 @@ def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens
     (words and punctuation counted separately)."""
     t = F.col(text_col)
+    _, toks = norm_tokens(text_col, lower=False)
     return df.withColumns(
         {
-            "tok_ws": F.size(F.split(t, WS_CLASS)),
-            "tok_regex": F.size(F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0)),
+            "tok_ws": F.size(toks),
+            "tok_regex": F.size(F.regexp_extract_all(t, F.lit(_REGEX_TOK), 0)),
         }
     )
 
@@ -126,8 +141,11 @@ def add_language_id_stopword(
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized lowered text
-    (content hash) + xxhash64 (fast 64-bit) — both JVM built-ins."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), WS_CLASS, " "))
+    (content hash) + xxhash64 (fast 64-bit) — both JVM built-ins. Uses
+    the SHARED _norm.norm_text definition (collapse -> trim -> lower):
+    the previous private collapse skipped trim, so texts differing only
+    by leading/trailing whitespace fingerprinted differently."""
+    norm = norm_text(text_col, lower=True)
     return df.withColumns(
         {
             "fp_md5": F.md5(norm),

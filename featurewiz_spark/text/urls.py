@@ -151,7 +151,11 @@ def url_features_sql(
         f"list_sort(list_filter(string_split({query}, '&'),"
         f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))"
     )
-    qs = f"array_to_string({kept}, '&')"
+    # coalesce: DuckDB array_to_string([]) is NULL (not ''), and
+    # concat('?', NULL) evaluates to '?' — without it every URL with no
+    # kept params grew a stray trailing '?' only in the mirror,
+    # splitting its canonical-dedup key from the Spark plan's
+    qs = f"coalesce(array_to_string({kept}, '&'), '')"
     path_n = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
     url_norm = (
         f"concat({scheme}, '://', {host}, {path_n},"

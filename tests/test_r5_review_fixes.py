@@ -354,3 +354,146 @@ def test_decontaminate_flag_clash_guard(spark):
         decontaminate(docs, bench)
     # drop mode is unaffected by the pre-existing column
     assert decontaminate(docs, bench, mode="drop").count() == 1
+
+
+# ------------------------------------------------------------------
+# Sampling/segments/urls/stats sweep findings
+# ------------------------------------------------------------------
+
+
+def test_url_norm_sql_no_stray_question_mark(spark, duck, tmp_path):
+    """DuckDB array_to_string([]) is NULL: without coalesce, every URL
+    with no kept query params grew a trailing '?' only in the mirror,
+    splitting its canonical-dedup key across engines."""
+    from featurewiz_spark.text.urls import add_url_features, url_features_sql
+
+    urls = [
+        (1, "https://example.com/a"),
+        (2, "https://example.com/a?utm_source=x"),  # only tracking params
+        (3, "https://example.com/a?id=7"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["url_norm"]
+        for r in add_url_features(df, "url").collect()
+    }
+    assert got[1] == got[2] == "https://example.com/a"
+    p = str(tmp_path / "u.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    duck.sql(f"CREATE VIEW udocs AS SELECT * FROM '{p}/*.parquet'")
+    expr = url_features_sql("url")["url_norm"]
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(f"SELECT doc_id, {expr} FROM udocs").fetchall()
+    }
+    assert got == want
+
+
+def test_quality_word_stats_irregular_whitespace(spark):
+    """Word stats follow the shared tokenizer: ' hi ' is ONE word,
+    'a  b' has mean word length 1.0 (the raw split counted empty edge
+    tokens and the old mean assumed exactly one separator char)."""
+    from featurewiz_spark.text.stats import add_quality_features, add_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, " hi "), (3, ""), (4, "one\n\n\ntwo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["q_n_words"], r["q_mean_word_len"])
+        for r in add_quality_features(df, "text").collect()
+    }
+    assert got[1] == (2, 1.0)
+    assert got[2] == (1, 2.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (2, 3.0)
+    toks = {
+        r["doc_id"]: r["tok_ws"]
+        for r in add_token_counts(df, "text").collect()
+    }
+    assert toks == {1: 2, 2: 1, 3: 0, 4: 2}
+
+
+def test_fingerprint_trims_edge_whitespace(spark):
+    from featurewiz_spark.text.stats import add_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "  HELLO  world")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp_md5"] for r in add_fingerprint(df, "text").collect()}
+    assert fp[1] == fp[2] == fp[3]
+
+
+def test_mixing_rate_rounding_half_away(spark, duck, tmp_path):
+    """Rate rounding must match DuckDB's half-away round(): an exact
+    binary tie (rate 0.125 at 2 dp) rounds to 0.13 on both engines —
+    Python's banker's round gave 0.12."""
+    from featurewiz_spark.operators.sampling import (
+        temperature_mixing_sample,
+        temperature_mixing_sql,
+    )
+
+    # 2 strata, 4 rows each, T=1 -> rate = target_frac exactly; pick
+    # target_frac=0.125 and rounding=2 to force the tie
+    rows = [(i, "ab"[i % 2]) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixing_sample(
+        df, "lang", "doc_id", temperature=1.0, target_frac=0.125, rounding=2
+    )
+    rates = {r["mix_rate"] for r in out.select("mix_rate").distinct().collect()}
+    assert rates == {0.13}
+    p = str(tmp_path / "m.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    duck.sql(f"CREATE VIEW mdocs AS SELECT * FROM '{p}/*.parquet'")
+    sql = temperature_mixing_sql(
+        "mdocs", "lang", "doc_id", temperature=1.0, target_frac=0.125, rounding=2
+    )
+    want = {r[0] for r in duck.sql(
+        f"SELECT DISTINCT mix_rate FROM ({sql})"
+    ).fetchall()}
+    assert want == {0.13}
+
+
+def test_segment_filter_join_sep_line_mode(spark):
+    """Any separator regex reassembles with newlines (the old exact
+    match on r'\\n' flattened CRLF-safe patterns to spaces)."""
+    from featurewiz_spark.text.segments import duplicate_segment_filter
+
+    docs = [
+        (1, "keep me\r\nshared boilerplate line\r\nalso keep"),
+        (2, "other text\r\nshared boilerplate line\r\nmore text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in duplicate_segment_filter(df, sep=r"\r?\n").collect()
+    }
+    assert out[1] == "keep me\nalso keep"
+    assert out[2] == "other text\nmore text"
+
+
+def test_repetition_signals_preserves_user_dunder_guard(spark):
+    from featurewiz_spark.text.segments import add_repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b", "x")], "doc_id long, text string, __meta string"
+    )
+    with pytest.raises(ValueError, match="__"):
+        add_repetition_signals(df)
+
+
+def test_sampling_internal_column_guards(spark):
+    from featurewiz_spark.operators.sampling import (
+        split_n_ways,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5)], "id long, cls string, __strata double"
+    )
+    with pytest.raises(ValueError, match="__strata"):
+        stratified_sample(df, "cls", 1)
+    df2 = spark.createDataFrame([(1, 2, 3)], "id long, ts long, __pr long")
+    with pytest.raises(ValueError, match="__pr"):
+        split_n_ways(df2, [0.5, 0.5], how="sequential", time_col="ts")

@@ -234,9 +234,14 @@ def test_stopword_regexp_count_matches_token_membership(spark):
          ("xthe thex",), ("a\tin\nis\x0bit\ffor\rto",), ("for",), (" ",)],
         "text string",
     )
+    from featurewiz_spark.text._norm import norm_tokens
+
     for d in (docs.select("text"), edge):
         got = add_quality_features(d, "text")
-        n_words = F.size(F.split(F.col("text"), WS_CLASS))
+        # denominator = the SHARED tokenizer's word count (collapse+trim,
+        # empty -> 0) since the r5 word-stats fix; the raw split counted
+        # empty edge tokens
+        n_words = F.size(norm_tokens("text", lower=False)[1])
         mism = got.where(
             F.col("q_stopword_ratio")
             != ref / F.greatest(n_words, F.lit(1))
