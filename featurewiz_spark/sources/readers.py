@@ -188,7 +188,10 @@ def read_any(
                 import zipfile
 
                 with zipfile.ZipFile(path) as z:
-                    with z.open(z.namelist()[0]) as f:
+                    names = z.namelist()
+                    if not names:  # same guard as the probe helper
+                        raise ValueError(f"empty zip archive: {path}")
+                    with z.open(names[0]) as f:
                         _shutil.copyfileobj(f, tmp, length=1 << 20)
             else:
                 import lzma
@@ -235,7 +238,11 @@ def sample_rows(
     df: DataFrame, n: int, target: str | None = None, seed: int = 42
 ) -> DataFrame:
     """S4/P10: bounded row sample. Classification (target given) →
-    per-class proportional sample; regression/none → limit(n).
+    per-class proportional Bernoulli sample (EXPECTED size n — sampleBy
+    is per-row coin flips, the result can exceed n); regression/none →
+    limit(n). NULL-target rows form their own stratum via a sentinel
+    key — sampleBy treats a missing key as fraction 0, which silently
+    dropped the whole NULL class.
 
     Reference: nrows branch featurewiz/featurewiz.py:267-276 and
     EDA_randomly_select_rows_from_dataframe :2842-2870.
@@ -246,10 +253,14 @@ def sample_rows(
     if target is None:
         return df.limit(n)
     frac = n / total
+    skey = F.coalesce(F.col(target).cast("string"), F.lit("__fw_null__"))
+    kdf = df.withColumn("__fw_skey", skey)
     fractions = {
-        r[0]: frac for r in df.select(target).distinct().collect() if r[0] is not None
+        r[0]: frac for r in kdf.select("__fw_skey").distinct().collect()
     }
-    return df.sampleBy(target, fractions=fractions, seed=seed)
+    return kdf.sampleBy("__fw_skey", fractions=fractions, seed=seed).drop(
+        "__fw_skey"
+    )
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,

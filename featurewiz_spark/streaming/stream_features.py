@@ -318,6 +318,13 @@ def run_windowed_agg_availablenow(
 
         shutil.rmtree(work_dir, ignore_errors=True)
         bt = schema[ts].dataType
+        # derive the agg result types from the ENGINE on the (empty)
+        # frame — hardcoding DoubleType made the empty-source schema
+        # disagree with the non-empty one for integral value columns
+        # (sum(long) is bigint), breaking cross-run unions
+        agg_t = batch.select(
+            F.sum(F.col(value)).alias("s"), F.avg(F.col(value)).alias("a")
+        ).schema
         return spark.createDataFrame(
             [],
             T.StructType(
@@ -326,8 +333,8 @@ def run_windowed_agg_availablenow(
                     T.StructField("window_start", bt),
                     T.StructField("window_end", bt),
                     T.StructField("n", T.LongType()),
-                    T.StructField(f"{value}_sum", T.DoubleType()),
-                    T.StructField(f"{value}_avg", T.DoubleType()),
+                    T.StructField(f"{value}_sum", agg_t["s"].dataType),
+                    T.StructField(f"{value}_avg", agg_t["a"].dataType),
                 ]
             ),
         )
@@ -469,7 +476,17 @@ def run_asof_enrich_availablenow(
     in_dir = os.path.join(work_dir, "in")
     out_dir = os.path.join(work_dir, "out")
     ck_dir = os.path.join(work_dir, "ck")
-    lo, hi = batch.agg(F.min(ts), F.max(ts)).first()
+    lo, hi, n_all, n_ts = batch.agg(
+        F.min(ts), F.max(ts), F.count(F.lit(1)), F.count(ts)
+    ).first()
+    if n_ts < n_all:
+        # both phase filters (ts <= mid, ts > mid) are NULL for a NULL
+        # event time — the row would silently vanish from the sink
+        raise ValueError(
+            f"run_asof_enrich_availablenow: {n_all - n_ts} rows have a "
+            f"NULL {ts!r} — event-time streaming cannot place them; "
+            "filter or impute upstream"
+        )
     # literal cast to the COLUMN's type: events parquet is TIMESTAMP_NTZ
     # and an LTZ literal comparison would need an implicit cast
     mid = F.lit(lo + (hi - lo) / 2).cast(schema[ts].dataType)

@@ -13,8 +13,17 @@ Semantics (pinned, versioned EXTRACTOR_VERSION):
 3. remaining tags stripped; block-level tags (<p>, <div>, <br>, <li>,
    headings) become newline separators
 4. HTML entities &amp; &lt; &gt; &quot; &#39; &nbsp; decoded
-5. whitespace normalized per line (collapse runs of spaces/tabs), empty
+5. whitespace normalized per line (collapse runs of the EXPLICIT class
+   below — space/tab/\r/\f/\x0B plus NEL/NBSP/LS/PS/ideographic space;
+   a newline inside <title> becomes a space), space-trimmed, empty
    lines dropped, lines joined with '\n'
+
+The whitespace class is spelled out because the two engines' escape
+shorthands silently differ: Java 8+'s ``\\v`` is the full vertical
+class (\\n, NEL, LS, PS) while Python's is \\x0B alone, and Java
+``trim`` strips every control char <= U+0020 while ``str.strip()``
+strips all Unicode whitespace — either shorthand breaks the pinned
+byte-identity between :func:`extract_one` and :func:`extract_text`.
 """
 
 from __future__ import annotations
@@ -27,14 +36,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-EXTRACTOR_VERSION = "1.0.0"
+EXTRACTOR_VERSION = "1.1.0"
+
+# one explicit inline-whitespace class for BOTH engines (no \v, no \s,
+# no bare trim — see module doc). \n is excluded: it is the line
+# separator; the title replaces it explicitly.
+_WS_CHARS = " \t\r\f\x0b\x85\xa0\u2028\u2029\u3000"
+
+_WS_PAT = "[" + _WS_CHARS + "]+"
 
 _SCRIPT = re.compile(r"(?is)<script\b.*?</script\s*>")
 _STYLE = re.compile(r"(?is)<style\b.*?</style\s*>")
 _TITLE = re.compile(r"(?is)<title\b[^>]*>(.*?)</title\s*>")
 _BLOCK = re.compile(r"(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>")
 _TAG = re.compile(r"(?s)<[^>]+>")
-_WS = re.compile(r"[ \t\r\f\v]+")
+_WS = re.compile(_WS_PAT)
 
 _ENTITIES = {
     "&amp;": "&",
@@ -44,7 +60,6 @@ _ENTITIES = {
     "&#39;": "'",
     "&nbsp;": " ",
 }
-
 
 def extract_one(html: bytes | str) -> str:
     """Pinned extractor for a single document (the per-row oracle)."""
@@ -60,20 +75,24 @@ def extract_one(html: bytes | str) -> str:
         s = s.replace(k, v)
         title = title.replace(k, v)
     lines = []
-    title = _WS.sub(" ", title).strip()
+    # the title is ONE output line: a newline captured inside <title>
+    # becomes a space; strip(" ") not strip() — after the collapse the
+    # edges are plain spaces, and bare strip() removes Unicode
+    # whitespace Java's engine would keep
+    title = _WS.sub(" ", title.replace("\n", " ")).strip(" ")
     if title:
         lines.append(title)
     for line in s.split("\n"):
-        line = _WS.sub(" ", line).strip()
+        line = _WS.sub(" ", line).strip(" ")
         if line:
             lines.append(line)
     return "\n".join(lines)
 
-
 @pandas_udf(T.StringType())
 def _extract_udf(html: pd.Series) -> pd.Series:
-    return html.map(extract_one)
-
+    # na_action: NULL html must stay NULL (the JVM cascade
+    # null-propagates; mapping None into re.sub raises instead)
+    return html.map(extract_one, na_action="ignore")
 
 def extract_text_udf(
     df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
@@ -84,7 +103,6 @@ def extract_text_udf(
     is the slow path and PySpark's local-mode Python runner serializes
     badly at high thread counts."""
     return df.withColumn(out_col, _extract_udf(F.col(html_col)))
-
 
 def extract_text(
     df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
@@ -106,17 +124,20 @@ def extract_text(
     for k, v in _ENTITIES.items():
         s = F.replace(s, F.lit(k), F.lit(v))
         title = F.replace(title, F.lit(k), F.lit(v))
-    title = F.trim(F.regexp_replace(title, r"[ \t\r\f\v]+", " "))
-    lines = F.transform(
-        F.split(s, "\n"),
-        lambda line: F.trim(F.regexp_replace(line, r"[ \t\r\f\v]+", " ")),
-    )
+    # space-only edge strip (regexp, not F.trim — Java trim strips every
+    # control char <= U+0020, Python's strip(" ") does not)
+    def _norm_line(c):
+        return F.regexp_replace(
+            F.regexp_replace(c, _WS_PAT, " "), r"^ +| +$", ""
+        )
+
+    title = _norm_line(F.replace(title, F.lit("\n"), F.lit(" ")))
+    lines = F.transform(F.split(s, "\n"), _norm_line)
     body_lines = F.filter(lines, lambda line: F.length(line) > 0)
     all_lines = F.when(F.length(title) > 0, F.concat(F.array(title), body_lines)).otherwise(
         body_lines
     )
     return df.withColumn(out_col, F.array_join(all_lines, "\n"))
-
 
 def decode_image_stub(df: DataFrame, binary_col: str, out_col: str = "image_features"):
     """Multimodal plumbing: image/audio decode is STUBBED (no PIL/cv2 in

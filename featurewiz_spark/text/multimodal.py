@@ -47,6 +47,11 @@ def _decode_image_bytes(buf: bytes) -> np.ndarray:
     """
     if not buf:
         raise NotImplementedError("empty payload: real codec required")
+    if len(buf) < 2:
+        # a 1-byte payload makes the half-buffer means np.mean([]) = NaN
+        # with only a RuntimeWarning — silent NaN features instead of a
+        # poison row
+        raise ValueError("payload too short to featurize (< 2 bytes)")
     a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
     return np.array(
         [
@@ -248,6 +253,10 @@ def _decode_dib_frame(data: bytes, w: int, h: int, bits: int) -> np.ndarray:
     REAL decode runs even in codec-less containers."""
     if bits != 24:
         raise ValueError(f"only 24-bit BI_RGB DIB supported, got {bits}")
+    if w <= 0 or h == 0:
+        # zero/negative width passes the stride*height length check with
+        # stride 0 and would emit silent all-NaN channel means
+        raise ValueError(f"invalid DIB dimensions {w}x{h}")
     hh = abs(h)
     stride = (w * 3 + 3) & ~3
     if len(data) < stride * hh:
@@ -323,6 +332,11 @@ def sample_video_frames(
     - "avi": force the real demuxer — non-AVI payloads become poison
       rows.
     - "stub": force the byte-stride stub."""
+    if int(every_n) < 1:
+        # a caller bug, not per-row data: every_n=0 would make range()
+        # raise inside the poison-row catch and silently poison EVERY
+        # media row in the dataset
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     if decoder not in ("auto", "avi", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}; use auto|avi|stub")
     out_schema = T.StructType(

@@ -247,3 +247,39 @@ def test_stopword_regexp_count_matches_token_membership(spark):
             != ref / F.greatest(n_words, F.lit(1))
         ).count()
         assert mism == 0
+
+
+def test_extractor_edge_whitespace_cross_path_identity(spark):
+    """r5: the JVM and Python paths must agree on the inputs where the
+    engines' shorthands diverge — Java \\v matches \\n/NEL/LS/PS
+    (Python's is \\x0B alone), Java trim strips all controls <= U+0020,
+    Python bare strip() eats Unicode whitespace. The pinned contract is
+    the explicit _WS_CHARS class + space-only edge strip; NULL html
+    stays NULL on both paths."""
+    from pyspark.sql import functions as F
+
+    from featurewiz_spark.text.extract import extract_text_udf
+
+    htmls = [
+        "<title>A\nB</title><p>x y</p>",        # newline inside title
+        "<p>a\x0Bb</p>",                          # vertical tab
+        "<p>n\x85el</p>",                         # NEL
+        "<p>l\u2028s\u2029p</p>",                 # LS / PS
+        "<p>\xa0hi\xa0</p><p>\xa0</p>",           # NBSP edges + NBSP-only line
+        "<p>\u3000wide\u3000</p>",                # ideographic space
+        "<p>\x01ctl</p>",                         # control char is CONTENT
+        None,                                      # NULL html -> NULL text
+    ]
+    df = spark.createDataFrame(
+        [(i, h.encode() if h is not None else None) for i, h in enumerate(htmls)],
+        "i long, html binary",
+    )
+    out = extract_text(df, "html", "sql_text")
+    out = extract_text_udf(out, "html", "py_text")
+    rows = {r["i"]: (r["sql_text"], r["py_text"]) for r in out.collect()}
+    for i, (s, p) in rows.items():
+        assert s == p, f"row {i}: JVM {s!r} != python {p!r}"
+    assert rows[0][0] == "A B\nx y"
+    assert rows[4][0] == "hi"
+    assert rows[6][0] == "\x01ctl"
+    assert rows[7] == (None, None)
