@@ -343,6 +343,10 @@ def bpe_encode_sql(
         f"chr(31) || '</w>' || chr(31))"
     )
     for a, b in merges:
+        if DELIM in a or DELIM in b:
+            # same guard as the Spark fold — a delimiter inside a
+            # symbol would silently corrupt the replace chain here
+            raise ValueError("merge symbols must not contain the delimiter")
         if a.endswith(EOW):
             raise ValueError(
                 f"merge left element {a!r} ends with the end-of-word "

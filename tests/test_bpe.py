@@ -226,6 +226,9 @@ def test_delimiter_in_merge_rejected(spark):
     df = _df(spark)
     with pytest.raises(ValueError, match="delimiter"):
         bpe_encode(df, [("a" + DELIM, "b")], "text").collect()
+    # the SQL mirror enforces the same contract (r5 review fix)
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_encode_sql("text", [("a", DELIM + "b")])
 
 
 def test_output_clash_guard(spark):

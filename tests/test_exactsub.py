@@ -152,3 +152,24 @@ def test_min_count_3_spares_pairs(spark):
     assert got[1][2] == 0 and got[2][2] == 0  # pair survives at mc=3
     got2 = _spark_rows(df, ngram=N, min_count=2)
     assert got2[1][2] > 0 and got2[2][2] > 0
+
+
+def test_randomized_differential_vs_pyref(spark):
+    """Seeded random corpus from a 12-token alphabet (so duplicated
+    n-grams arise organically, within AND across docs) — the Spark
+    fold must agree with the independent pure-Python reference on
+    every (doc, clean_text, n_tokens, n_dup_tokens). One Spark job."""
+    import random
+
+    rng = random.Random(20260820)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for did in range(1, 161):
+        n = rng.randint(0, 30)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    for ngram, mc in ((3, 2), (4, 3)):
+        got = _spark_rows(
+            spark.createDataFrame(docs, SCHEMA), ngram=ngram, min_count=mc
+        )
+        want = _pyref_one(docs, ngram=ngram, min_count=mc)
+        assert got == want
