@@ -67,8 +67,10 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     rng_base = np.asarray(ids, dtype=np.uint64) * np.uint64(2654435761) + np.uint64(seed)
 
     def u(salt: int) -> np.ndarray:
-        # splitmix-style per-row uniform in [0,1)
-        z = rng_base + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15)
+        # splitmix-style per-row uniform in [0,1); the salt product is
+        # masked in Python ints (same mod-2^64 value as uint64
+        # wraparound, without numpy's scalar-overflow RuntimeWarning)
+        z = rng_base + np.uint64((salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
