@@ -141,6 +141,154 @@ def detect_encoding(path: str, probe_bytes: int = 65536) -> str:
     return "utf-8"
 
 
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'B2' -> 1 (0-based column). Letters prefix only; row digits ignored."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _read_xlsx_stdlib(path: str, header: bool = True):
+    """Minimal OOXML .xlsx reader on stdlib only (zipfile + ElementTree).
+
+    Reads the FIRST worksheet of the workbook: shared and inline
+    strings, numbers (integral columns downcast to int64, matching
+    pandas.read_excel), booleans, formula cached values (<v> of a
+    formula cell), sparse cells (missing -> None). Out of scope, by
+    design: date-style detection (serials stay numeric), merged cells,
+    formula recalculation — convert via pandas+openpyxl for those.
+
+    Reference parity target: load_file_dataframe's pd.read_excel branch
+    (reference featurewiz/featurewiz.py:245-247).
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as _pd
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+
+        # workbook -> first sheet's relationship id -> sheet part path
+        sheet_part = "xl/worksheets/sheet1.xml"
+        if "xl/workbook.xml" in names:
+            wb = ET.fromstring(z.read("xl/workbook.xml"))
+            rid = None
+            for el in wb.iter():
+                if _local(el.tag) == "sheet":
+                    for k, v in el.attrib.items():
+                        if _local(k) == "id":
+                            rid = v
+                    break
+            rels_name = "xl/_rels/workbook.xml.rels"
+            if rid is not None and rels_name in names:
+                rels = ET.fromstring(z.read(rels_name))
+                for el in rels.iter():
+                    if _local(el.tag) == "Relationship" and el.get("Id") == rid:
+                        target = el.get("Target", "")
+                        sheet_part = (
+                            target.lstrip("/")
+                            if target.startswith("/")
+                            else "xl/" + target
+                        )
+                        break
+        if sheet_part not in names:
+            raise ValueError(
+                f"no worksheet part found in {path} (looked for {sheet_part})"
+            )
+
+        # shared strings: one <si> per entry; rich-text runs are the
+        # concatenation of every descendant <t>
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst:
+                if _local(si.tag) != "si":
+                    continue
+                shared.append(
+                    "".join(
+                        t.text or ""
+                        for t in si.iter()
+                        if _local(t.tag) == "t"
+                    )
+                )
+
+        rows: list[dict[int, object]] = []
+        for row_el in ET.fromstring(z.read(sheet_part)).iter():
+            if _local(row_el.tag) != "row":
+                continue
+            cells: dict[int, object] = {}
+            auto_col = 0
+            for c in row_el:
+                if _local(c.tag) != "c":
+                    continue
+                ref = c.get("r")
+                col = _xlsx_col_index(ref) if ref else auto_col
+                auto_col = col + 1
+                ctype = c.get("t", "n")
+                v_text, inline = None, None
+                for child in c:
+                    lc = _local(child.tag)
+                    if lc == "v":
+                        v_text = child.text or ""
+                    elif lc == "is":  # inline string
+                        inline = "".join(
+                            t.text or ""
+                            for t in child.iter()
+                            if _local(t.tag) == "t"
+                        )
+                if ctype == "s":
+                    cells[col] = shared[int(v_text)] if v_text else None
+                elif ctype == "inlineStr":
+                    cells[col] = inline
+                elif ctype == "b":
+                    cells[col] = None if v_text is None else v_text == "1"
+                elif ctype in ("str", "e"):  # formula string / error text
+                    cells[col] = v_text
+                else:  # "n" and default: numeric
+                    cells[col] = None if v_text in (None, "") else float(v_text)
+            rows.append(cells)
+
+    ncols = max((max(r) + 1 for r in rows if r), default=0)
+    matrix = [[r.get(i) for i in range(ncols)] for r in rows]
+    if header and matrix:
+        colnames = [
+            str(v) if v is not None else f"_c{i}"
+            for i, v in enumerate(matrix[0])
+        ]
+        matrix = matrix[1:]
+    else:
+        colnames = [f"_c{i}" for i in range(ncols)]
+
+    pdf = _pd.DataFrame(matrix, columns=colnames)
+    for col in pdf.columns:
+        s = pdf[col]
+        nonnull = s.dropna()
+        if nonnull.empty:
+            continue
+        if all(isinstance(v, float) for v in nonnull):
+            # pandas.read_excel parity: integral no-NaN column -> int64
+            if not s.isna().any() and all(v == int(v) for v in nonnull):
+                pdf[col] = s.astype("int64")
+            else:
+                pdf[col] = s.astype("float64")
+        elif all(isinstance(v, bool) for v in nonnull):
+            if not s.isna().any():
+                pdf[col] = s.astype("bool")
+            # else: leave object (True/False/None) — Spark infers a
+            # nullable boolean from it; stringifying would lose type
+        else:
+            pdf[col] = s.map(lambda v: None if v is None else str(v))
+    return pdf
+
+
 def read_any(
     spark: SparkSession,
     path: str,
@@ -158,7 +306,9 @@ def read_any(
     feather :513-517). Feather is not a splittable format, so it is
     read driver-side via pyarrow and parallelized — appropriate for the
     reference's single-node-sized feather files; convert to Parquet for
-    anything larger. Excel needs openpyxl (absent here) and is gated.
+    anything larger. .xlsx prefers pandas+openpyxl (full fidelity) and
+    falls back to a pure-stdlib zip+XML parser when openpyxl is absent;
+    legacy binary .xls stays gated (needs xlrd).
     """
     low = path.lower()
     stripped = low
@@ -206,17 +356,26 @@ def read_any(
         import pyarrow.feather as _feather
 
         return spark.createDataFrame(_feather.read_table(path).to_pandas())
-    if stripped.endswith((".xlsx", ".xls")):
+    if stripped.endswith(".xls"):
+        # legacy BIFF binary workbook — no stdlib parser exists; xlrd
+        # is absent here, so this stays an explicit gate.
+        raise NotImplementedError(
+            "legacy .xls read requires xlrd (not installed); convert to "
+            ".xlsx/CSV/Parquet, or install xlrd and read via pandas"
+        )
+    if stripped.endswith(".xlsx"):
         try:
             import openpyxl  # noqa: F401
-        except ImportError as ex:  # explicit gate: no xlsx codec in container
-            raise NotImplementedError(
-                "xlsx read requires openpyxl (not installed); convert to "
-                "CSV/Parquet, or install openpyxl and read via pandas"
-            ) from ex
-        import pandas as _pd
 
-        return spark.createDataFrame(_pd.read_excel(path))
+            import pandas as _pd
+
+            return spark.createDataFrame(_pd.read_excel(path))
+        except ImportError:
+            # full-fidelity path needs openpyxl; fall back to the
+            # stdlib zip+XML parser below (values + types; no date
+            # styles / merged cells / formula recalculation).
+            pass
+        return spark.createDataFrame(_read_xlsx_stdlib(path, header=header))
     if stripped.endswith(".json") or stripped.endswith(".jsonl"):
         return spark.read.json(path)
     if stripped.endswith(".tsv"):

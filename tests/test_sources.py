@@ -52,16 +52,100 @@ def test_read_tsv_dispatch(spark, tmp_path):
     assert df.columns == ["a", "b"] and df.first()["b"] == 2
 
 
-def test_read_xlsx_gated(spark, tmp_path):
-    p = str(tmp_path / "t.xlsx")
-    open(p, "wb").close()
-    try:
-        import openpyxl  # noqa: F401
+def _write_minimal_xlsx(path: str) -> None:
+    """Hand-built OOXML workbook: shared + inline strings, int/float
+    numbers, a boolean, and a sparse row (C3 missing)."""
+    import zipfile
 
-        pytest.skip("openpyxl present; gate not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="openpyxl"):
+    ct = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+        '.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxml'
+        'formats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        "vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"
+        '"/></Types>'
+    )
+    root_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/'
+        'workbook.xml"/></Relationships>'
+    )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/'
+        'sheet1.xml"/></Relationships>'
+    )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats'
+        '.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>name</t></si><si><t>alpha</t></si>"
+        "<si><r><t>be</t></r><r><t>ta</t></r></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="inlineStr"><is><t>amount</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>flag</t></is></c></row>'
+        '<row r="2">'
+        '<c r="A2" t="s"><v>1</v></c>'
+        '<c r="B2"><v>1.5</v></c>'
+        '<c r="C2" t="b"><v>1</v></c></row>'
+        '<row r="3">'
+        '<c r="A3" t="s"><v>2</v></c>'
+        '<c r="B3"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_stdlib(spark, tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    _write_minimal_xlsx(p)
+    df = read_any(spark, p)
+    assert df.columns == ["name", "amount", "flag"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alpha"]["amount"] == 1.5 and rows["alpha"]["flag"] is True
+    # rich-text shared string concatenates runs; sparse C3 -> NULL
+    assert rows["beta"]["amount"] == 2.0 and rows["beta"]["flag"] is None
+
+
+def test_read_xlsx_stdlib_int_downcast(tmp_path):
+    # integral no-NaN numeric column -> int64 (pandas.read_excel parity)
+    from featurewiz_spark.sources.readers import _read_xlsx_stdlib
+
+    p = str(tmp_path / "ints.xlsx")
+    _write_minimal_xlsx(p)
+    pdf = _read_xlsx_stdlib(p)
+    assert str(pdf["amount"].dtype) == "float64"  # 1.5 present
+    pdf2 = _read_xlsx_stdlib(p, header=False)
+    assert list(pdf2.columns) == ["_c0", "_c1", "_c2"]
+    assert pdf2["_c0"].tolist() == ["name", "alpha", "beta"]
+
+
+def test_read_xls_gated(spark, tmp_path):
+    p = str(tmp_path / "t.xls")
+    open(p, "wb").close()
+    with pytest.raises(NotImplementedError, match="xlrd"):
         read_any(spark, p)
 
 
