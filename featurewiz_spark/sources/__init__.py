@@ -1,4 +1,12 @@
 from featurewiz_spark.sources.pages import generate_pages, pages_schema
 from featurewiz_spark.sources.readers import load_table, read_any
+from featurewiz_spark.sources.warc import read_warc, warc_to_pages
 
-__all__ = ["generate_pages", "pages_schema", "load_table", "read_any"]
+__all__ = [
+    "generate_pages",
+    "pages_schema",
+    "load_table",
+    "read_any",
+    "read_warc",
+    "warc_to_pages",
+]

@@ -1,0 +1,276 @@
+"""WARC ingestion — the real front door for Common-Crawl-style pages.
+
+BASELINE.json's north star is an Iceberg lakehouse of Common-Crawl-style
+web pages; Common Crawl ships WARC/1.x files (ISO 28500): a stream of
+records, each a CRLF-terminated header block + Content-Length payload
+bytes + CRLFCRLF. ``read_warc`` turns a set of WARC files into a
+DataFrame and ``warc_to_pages`` composes it with the pinned extractor +
+language ID into the canonical pages schema
+``(url, warc_ts, html, text, lang)`` ready for
+:func:`featurewiz_spark.sources.table_io.write_table`.
+
+Scale design (file-granular parallelism, the archive-standard pattern):
+
+- gzip WARCs are a concatenation of independently-gzipped members and
+  are NOT splittable, so the parallel unit is the FILE. A Common Crawl
+  snapshot is ~64k segment files of ~1 GB each — far more files than
+  executors, so file-granularity saturates any cluster.
+- paths are distributed with ``repartition(n, path)`` and each task
+  STREAMS its files through a stdlib parser inside ``mapInPandas``,
+  yielding bounded Arrow batches — task memory is O(batch), never
+  O(file). No driver-side materialization at any point.
+- the parse is pure stdlib (gzip + bytes); Python cost is one linear
+  scan per byte of payload, amortized across the Arrow batch. There is
+  no JVM WARC codec to prefer here — this is the legitimate
+  mapInPandas case (format Spark cannot express declaratively).
+- executors must see the files (shared/object storage or local
+  replicas) — the same contract as every Spark binary-file source.
+
+Reference scope note: the reference (featurewiz) has no archive
+ingestion at all — this operator exists for the north star's data
+model, cited to the WARC spec rather than a reference file.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), True),
+        T.StructField("source_file", T.StringType(), True),
+    ]
+)
+
+# WARC record types whose payload is (or wraps) the captured content
+_DEFAULT_TYPES = ("response", "resource", "conversion")
+
+
+def _open_stream(path: str) -> io.BufferedReader:
+    """Open a WARC file for streaming; gzip members are handled
+    transparently (Python's gzip reads concatenated members)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")  # type: ignore[return-value]
+    return open(path, "rb")
+
+
+def _parse_headers(lines: list[bytes]) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for ln in lines:
+        k, sep, v = ln.partition(b":")
+        if sep:
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body. Malformed
+    chunking returns the raw body unchanged (capture fidelity over
+    strictness — mirrors warcio's lenient behavior)."""
+    out, pos = [], 0
+    try:
+        while True:
+            nl = body.index(b"\r\n", pos)
+            size = int(body[pos:nl].split(b";")[0], 16)
+            if size == 0:
+                break
+            start = nl + 2
+            out.append(body[start : start + size])
+            pos = start + size + 2  # skip chunk CRLF
+    except (ValueError, IndexError):
+        return body
+    return b"".join(out)
+
+
+def _split_http_payload(block: bytes) -> tuple[bytes, str | None]:
+    """response-record block = raw HTTP response. Returns (body bytes,
+    Content-Type). Chunked bodies are dechunked; a block that does not
+    start with an HTTP status line is returned whole."""
+    if not block.startswith(b"HTTP/"):
+        return block, None
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return block, None
+    http_headers = _parse_headers(block[:sep].split(b"\r\n")[1:])
+    body = block[sep + 4 :]
+    if "chunked" in http_headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    return body, http_headers.get("content-type")
+
+
+def iter_warc_records(
+    stream: io.BufferedReader, strict: bool = False
+) -> Iterator[dict]:
+    """Stream WARC records off an open binary stream.
+
+    Yields dicts with keys ``headers`` (lower-cased WARC header map) and
+    ``block`` (exactly Content-Length payload bytes). Stops at EOF; a
+    malformed record raises when ``strict`` else ends the file's
+    iteration (truncated tail files are routine in crawl archives).
+    """
+    while True:
+        # skip inter-record CRLFs to the next version line
+        line = stream.readline()
+        while line in (b"\r\n", b"\n"):
+            line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            if strict:
+                raise ValueError(f"expected WARC version line, got {line[:40]!r}")
+            return
+        header_lines: list[bytes] = []
+        while True:
+            ln = stream.readline()
+            if not ln:  # EOF mid-header
+                if strict:
+                    raise ValueError("EOF inside WARC header block")
+                return
+            if ln in (b"\r\n", b"\n"):
+                break
+            header_lines.append(ln)
+        headers = _parse_headers(header_lines)
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError("WARC record missing Content-Length") from None
+            return
+        block = stream.read(length)
+        if len(block) < length:
+            if strict:
+                raise ValueError("EOF inside WARC payload")
+            return
+        yield {"headers": headers, "block": block}
+
+
+def _parse_warc_date(raw: str | None):
+    if not raw:
+        return None
+    try:
+        ts = pd.Timestamp(raw)
+    except ValueError:
+        return None
+    if ts.tzinfo is not None:  # normalize to tz-naive UTC (pages schema)
+        ts = ts.tz_convert("UTC").tz_localize(None)
+    return ts
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    record_types: tuple[str, ...] = _DEFAULT_TYPES,
+    parallelism: int | None = None,
+    batch_rows: int = 512,
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed WARC read → DataFrame(WARC_SCHEMA).
+
+    ``paths``: a glob/directory string (expanded driver-side) or an
+    explicit path list. Files are hash-distributed across
+    ``parallelism`` tasks (default: one task per file up to the session
+    default parallelism); each task streams records and yields Arrow
+    batches of ``batch_rows`` — memory stays bounded for arbitrarily
+    large archives. ``html`` holds the payload bytes (HTTP headers
+    stripped and chunking decoded for response records).
+    """
+    if isinstance(paths, str):
+        import glob as _glob
+        import os as _os
+
+        expanded = (
+            sorted(_glob.glob(_os.path.join(paths, "*.warc*")))
+            if _os.path.isdir(paths)
+            else sorted(_glob.glob(paths))
+        )
+        if not expanded:
+            raise ValueError(f"no WARC files match {paths!r}")
+        paths = expanded
+    else:
+        paths = list(paths)
+    wanted = {t.lower() for t in record_types}
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        for pdf in batches:
+            for path in pdf["path"]:
+                with _open_stream(path) as stream:
+                    for rec in iter_warc_records(stream, strict=strict):
+                        h = rec["headers"]
+                        if h.get("warc-type", "").lower() not in wanted:
+                            continue
+                        body, ctype = _split_http_payload(rec["block"])
+                        rows.append(
+                            (
+                                h.get("warc-target-uri"),
+                                _parse_warc_date(h.get("warc-date")),
+                                body,
+                                h.get("warc-type"),
+                                ctype or h.get("content-type"),
+                                h.get("warc-record-id"),
+                                len(body),
+                                path,
+                            )
+                        )
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(
+                                rows, columns=WARC_SCHEMA.fieldNames()
+                            )
+                            rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=WARC_SCHEMA.fieldNames())
+
+    n = parallelism or max(
+        1, min(len(paths), spark.sparkContext.defaultParallelism)
+    )
+    path_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    return path_df.repartition(n, "path").mapInPandas(_parse, WARC_SCHEMA)
+
+
+def warc_to_pages(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    html_only: bool = True,
+    langid_impl: str = "pandas",
+    **read_kwargs,
+) -> DataFrame:
+    """WARC files → the canonical pages table
+    ``(url, warc_ts, html, text, lang)``: read_warc → (optional)
+    text/html content-type filter → pinned JVM extractor
+    (byte-identical to the Python oracle) → trigram language ID.
+    Write the result with table_io.write_table (Iceberg
+    ``days(warc_ts)/bucket(url)`` layout) to land the lakehouse the
+    north star describes. One linear pass, no shuffle — partitioning
+    follows the file distribution of read_warc.
+    """
+    from featurewiz_spark.text.extract import extract_text
+    from featurewiz_spark.text.langid import add_language_id_ngram
+
+    df = read_warc(spark, paths, **read_kwargs)
+    if html_only:
+        df = df.where(
+            F.col("url").isNotNull()
+            & F.col("warc_ts").isNotNull()
+            & F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith(
+                "text/html"
+            )
+        )
+    df = extract_text(df, html_col="html", out_col="text")
+    df = add_language_id_ngram(df, text_col="text", out_col="lang", impl=langid_impl)
+    return df.select("url", "warc_ts", "html", "text", "lang")

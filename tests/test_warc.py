@@ -1,0 +1,143 @@
+"""WARC ingestion (sources/warc.py): stdlib record parser, gzip
+members, HTTP payload stripping + dechunking, strict/lenient truncation
+contract, and the warc_to_pages composition onto the canonical schema."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from featurewiz_spark.sources.warc import (
+    _dechunk,
+    iter_warc_records,
+    read_warc,
+    warc_to_pages,
+)
+from featurewiz_spark.text.extract import extract_one
+
+
+def _record(rtype: str, uri: str | None, date: str, block: bytes) -> bytes:
+    head = [f"WARC/1.0", f"WARC-Type: {rtype}", f"WARC-Date: {date}"]
+    if uri:
+        head.append(f"WARC-Target-URI: {uri}")
+    head.append(f"WARC-Record-ID: <urn:uuid:{rtype}-{len(block)}>")
+    head.append(f"Content-Length: {len(block)}")
+    return "\r\n".join(head).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + ctype.encode()
+        + b"\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+
+
+HTML1 = b"<html><title>T1</title><body><p>hello&amp;world</p></body></html>"
+HTML2 = b"<html><body><div>zwei  seiten</div></body></html>"
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", None, "2024-03-01T00:00:00Z", b"software: test\r\n")
+        + _record(
+            "request",
+            "http://a.example/x",
+            "2024-03-01T10:00:00Z",
+            b"GET /x HTTP/1.1\r\n\r\n",
+        )
+        + _record(
+            "response", "http://a.example/x", "2024-03-01T10:00:00Z", _http(HTML1)
+        )
+        + _record(
+            "resource",
+            "http://b.example/raw.html",
+            "2024-03-02T11:30:00.123Z",
+            HTML2,
+        )
+    )
+
+
+def test_iter_warc_records_stream():
+    recs = list(iter_warc_records(io.BytesIO(_warc_bytes())))
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo",
+        "request",
+        "response",
+        "resource",
+    ]
+    assert recs[2]["block"].startswith(b"HTTP/1.1 200")
+
+
+def test_iter_warc_truncated_lenient_and_strict():
+    data = _warc_bytes()[:-30]  # cut into the last record's payload
+    recs = list(iter_warc_records(io.BytesIO(data)))
+    assert len(recs) == 3  # truncated tail dropped, no raise
+    with pytest.raises(ValueError, match="EOF inside WARC payload"):
+        list(iter_warc_records(io.BytesIO(data), strict=True))
+
+
+def test_dechunk():
+    body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    assert _dechunk(body) == b"hello world"
+    assert _dechunk(b"not chunked at all") == b"not chunked at all"
+
+
+def test_read_warc_plain_and_gz_members(spark, tmp_path):
+    p1 = tmp_path / "a.warc"
+    p1.write_bytes(_warc_bytes())
+    # gz with TWO members (Common Crawl writes one member per record)
+    p2 = tmp_path / "b.warc.gz"
+    m1 = gzip.compress(
+        _record(
+            "response",
+            "http://c.example/y",
+            "2024-03-03T09:00:00Z",
+            _http(HTML2),
+        )
+    )
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\n<p>ab\r\n4\r\n</p>\r\n0\r\n\r\n"
+    )
+    m2 = gzip.compress(
+        _record("response", "http://c.example/z", "2024-03-03T09:05:00Z", chunked)
+    )
+    p2.write_bytes(m1 + m2)
+
+    df = read_warc(spark, str(tmp_path)).orderBy("url")
+    rows = {r["url"]: r for r in df.collect()}
+    # request/warcinfo filtered by default record_types
+    assert set(rows) == {
+        "http://a.example/x",
+        "http://b.example/raw.html",
+        "http://c.example/y",
+        "http://c.example/z",
+    }
+    a = rows["http://a.example/x"]
+    assert bytes(a["html"]) == HTML1  # HTTP headers stripped
+    assert a["content_type"].startswith("text/html")
+    assert a["warc_ts"].isoformat() == "2024-03-01T10:00:00"
+    assert bytes(rows["http://b.example/raw.html"]["html"]) == HTML2
+    assert bytes(rows["http://c.example/z"]["html"]) == b"<p>ab</p>"  # dechunked
+    assert rows["http://c.example/y"]["source_file"].endswith("b.warc.gz")
+
+
+def test_warc_to_pages_canonical_schema(spark, tmp_path):
+    p = tmp_path / "a.warc"
+    p.write_bytes(_warc_bytes())
+    pages = warc_to_pages(spark, str(p))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r["url"]: r for r in pages.collect()}
+    # resource record has no HTTP content-type -> dropped by html_only
+    assert set(rows) == {"http://a.example/x"}
+    r = rows["http://a.example/x"]
+    # pinned extractor byte-identity vs the Python oracle
+    assert r["text"] == extract_one(HTML1) == "T1\nhello&world"
+    assert r["lang"] is not None
