@@ -1739,6 +1739,140 @@ def _q99_sql() -> str:
     """
 
 
+def _fixture_dir(prefix: str) -> str:
+    """Session-scoped temp dir for encode-side fixtures, removed at
+    interpreter exit (queries may run several times per session — the
+    dir is rebuilt per call, tiny at oracle SF)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _q101_warc_roundtrip(spark, sf):
+    """WARC source roundtrip (sources/warc.py): documents are
+    deterministically ENCODED driver-side into multi-member-gzip WARC
+    response records (the encode is the 500-row test fixture; the
+    operator under test is the distributed file-granular read), read
+    back with read_warc — HTTP header strip, WARC-Date parse, payload
+    byte fidelity — and projected to values the oracle re-derives
+    straight from the table: equal md5 ⇒ byte-exact payload roundtrip,
+    equal content_length ⇒ exact Content-Length accounting, equal
+    warc_ts ⇒ date-parse parity."""
+    import gzip
+    import os
+    from datetime import datetime, timedelta
+
+    from featurewiz_spark.sources.warc import read_warc
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text").collect()
+    d = _fixture_dir("fw_q101_warc_")
+    base = datetime(2024, 1, 1)
+    bufs: list[list[bytes]] = [[] for _ in range(4)]
+    for r in docs:
+        html = (
+            f"<html><title>doc {r['doc_id']}</title><body><p>"
+            f"{r['text']}</p></body></html>"
+        ).encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            b"\r\nContent-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+        )
+        iso = (base + timedelta(seconds=int(r["doc_id"]) % 86400)).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        rec = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: {iso}\r\n"
+            f"WARC-Target-URI: http://docs.example/{r['doc_id']}\r\n"
+            f"WARC-Record-ID: <urn:doc:{r['doc_id']}>\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+        bufs[int(r["doc_id"]) % 4].append(gzip.compress(rec))
+    for i, parts in enumerate(bufs):
+        with open(os.path.join(d, f"seg{i:02d}.warc.gz"), "wb") as f:
+            f.write(b"".join(parts))
+    w = read_warc(spark, d)
+    return w.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("warc_ts"),
+        F.col("content_length"),
+        F.md5(F.col("html")).alias("payload_md5"),
+    )
+
+
+def _q102_xlsx_roundtrip(spark, sf):
+    """stdlib xlsx reader roundtrip (sources/readers.py): documents
+    encoded driver-side as a minimal OOXML workbook (inline strings,
+    numeric cells), read back through read_any's zip+XML fallback —
+    int64 downcast, float and string typing — and compared to the
+    oracle's direct projection of the same table."""
+    import os
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from featurewiz_spark.sources.readers import read_any
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars").collect()
+    rows_xml = [
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>doc_id</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>lang</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>n_chars</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>half</t></is></c></row>'
+    ]
+    for i, r in enumerate(docs, start=2):
+        cells = [f'<c r="A{i}"><v>{int(r["doc_id"])}</v></c>']
+        if r["lang"] is not None:  # NULL -> sparse cell
+            cells.append(
+                f'<c r="B{i}" t="inlineStr"><is><t>{escape(r["lang"])}'
+                "</t></is></c>"
+            )
+        cells.append(f'<c r="C{i}"><v>{int(r["n_chars"])}</v></c>')
+        cells.append(f'<c r="D{i}"><v>{int(r["n_chars"]) * 0.5}</v></c>')
+        rows_xml.append(f'<row r="{i}">' + "".join(cells) + "</row>")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+    path = os.path.join(_fixture_dir("fw_q102_xlsx_"), "documents.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.open'
+            'xmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{rel}">'
+            f'<Relationship Id="rId1" Type="{rel}/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rel}">'
+            '<sheets><sheet name="documents" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{rel}">'
+            f'<Relationship Id="rId1" Type="{rel}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            + "".join(rows_xml)
+            + "</sheetData></worksheet>",
+        )
+    return read_any(spark, path)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1841,6 +1975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_unicode_normalize": _q98_unicode_normalize,
         "q99_bpe_encode": _q99_bpe_encode,
         "q100_exact_substring": _q100_exact_substring,
+        "q101_warc_roundtrip": _q101_warc_roundtrip,
+        "q102_xlsx_roundtrip": _q102_xlsx_roundtrip,
     }
 
 
@@ -3260,6 +3396,31 @@ def _generated_oracles() -> dict[str, str]:
         "q100_exact_substring": exact_substring_dedup_sql(
             "documents", ngram=6, min_count=2
         ),
+        # q101: the oracle re-derives the encoded WARC payload straight
+        # from the table — equal md5 proves the distributed parse
+        # returned byte-exact payloads; strlen is DuckDB's BYTE length,
+        # matching the parser's len(body) accounting.
+        "q101_warc_roundtrip": """
+            SELECT doc_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + INTERVAL (doc_id % 86400) SECOND AS warc_ts,
+                   CAST(strlen('<html><title>doc ' || doc_id
+                        || '</title><body><p>' || text
+                        || '</p></body></html>') AS BIGINT)
+                     AS content_length,
+                   md5('<html><title>doc ' || doc_id
+                        || '</title><body><p>' || text
+                        || '</p></body></html>') AS payload_md5
+            FROM documents
+        """,
+        # q102: direct projection — the Spark side must reproduce it
+        # through the OOXML encode + stdlib zip/XML decode path,
+        # including the integral->int64 downcast and NULL-as-sparse-cell.
+        "q102_xlsx_roundtrip": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(n_chars AS DOUBLE) * 0.5 AS half
+            FROM documents
+        """,
     }
 
 

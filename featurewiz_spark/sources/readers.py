@@ -375,7 +375,24 @@ def read_any(
             # stdlib zip+XML parser below (values + types; no date
             # styles / merged cells / formula recalculation).
             pass
-        return spark.createDataFrame(_read_xlsx_stdlib(path, header=header))
+        pdf = _read_xlsx_stdlib(path, header=header)
+        if len(pdf) == 0:
+            # Spark cannot infer a schema from an empty pandas frame;
+            # derive it from the dtypes the parser settled on
+            from pyspark.sql import types as _T
+
+            _DT = {"int64": _T.LongType(), "float64": _T.DoubleType(),
+                   "bool": _T.BooleanType()}
+            schema = _T.StructType(
+                [
+                    _T.StructField(
+                        c, _DT.get(str(pdf[c].dtype), _T.StringType()), True
+                    )
+                    for c in pdf.columns
+                ]
+            )
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(pdf)
     if stripped.endswith(".json") or stripped.endswith(".jsonl"):
         return spark.read.json(path)
     if stripped.endswith(".tsv"):

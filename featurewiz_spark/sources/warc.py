@@ -165,7 +165,9 @@ def _parse_warc_date(raw: str | None):
         return None
     try:
         ts = pd.Timestamp(raw)
-    except ValueError:
+    except (ValueError, TypeError, OverflowError):
+        # covers pandas OutOfBoundsDatetime/DateParseError (ValueError
+        # subclasses) — an unparseable date yields NULL, not a dead task
         return None
     if ts.tzinfo is not None:  # normalize to tz-naive UTC (pages schema)
         ts = ts.tz_convert("UTC").tz_localize(None)
@@ -204,6 +206,8 @@ def read_warc(
         paths = expanded
     else:
         paths = list(paths)
+        if not paths:
+            raise ValueError("read_warc: empty path list")
     wanted = {t.lower() for t in record_types}
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
