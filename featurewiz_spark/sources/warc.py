@@ -70,12 +70,16 @@ def _open_stream(path: str) -> io.BufferedReader:
 
 def _parse_headers(lines: list[bytes]) -> dict[str, str]:
     headers: dict[str, str] = {}
+    last: str | None = None
     for ln in lines:
+        if last is not None and ln[:1] in (b" ", b"\t"):
+            # RFC folded continuation line — append to previous value
+            headers[last] += " " + ln.strip().decode("latin-1", "replace")
+            continue
         k, sep, v = ln.partition(b":")
         if sep:
-            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                "latin-1", "replace"
-            )
+            last = k.strip().lower().decode("latin-1")
+            headers[last] = v.strip().decode("latin-1", "replace")
     return headers
 
 
@@ -104,11 +108,23 @@ def _split_http_payload(block: bytes) -> tuple[bytes, str | None]:
     start with an HTTP status line is returned whole."""
     if not block.startswith(b"HTTP/"):
         return block, None
-    sep = block.find(b"\r\n\r\n")
-    if sep < 0:
+    # header terminator: CRLFCRLF per spec, bare LFLF from non-compliant
+    # servers captured raw (warcio-style leniency). Whichever terminator
+    # appears FIRST ends the headers — for compliant responses the first
+    # LFLF can only be in the body (CRLFCRLF contains no LFLF), and for
+    # bare-LF responses the first CRLFCRLF can only be in the body.
+    sep_crlf = block.find(b"\r\n\r\n")
+    sep_lf = block.find(b"\n\n")
+    if sep_crlf < 0 and sep_lf < 0:
         return block, None
-    http_headers = _parse_headers(block[:sep].split(b"\r\n")[1:])
-    body = block[sep + 4 :]
+    if sep_lf < 0 or (0 <= sep_crlf < sep_lf):
+        sep, width = sep_crlf, 4
+    else:
+        sep, width = sep_lf, 2
+    http_headers = _parse_headers(
+        [ln.rstrip(b"\r") for ln in block[:sep].split(b"\n")[1:]]
+    )
+    body = block[sep + width :]
     if "chunked" in http_headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     return body, http_headers.get("content-type")

@@ -82,6 +82,37 @@ def test_iter_warc_truncated_lenient_and_strict():
         list(iter_warc_records(io.BytesIO(data), strict=True))
 
 
+def test_folded_warc_header_and_bare_lf_http():
+    from featurewiz_spark.sources.warc import _split_http_payload
+
+    # RFC header folding: continuation line joins the previous value
+    block = b"payload"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.example/very\r\n\t/long/path\r\n"
+        b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+        + block + b"\r\n\r\n"
+    )
+    r = next(iter_warc_records(io.BytesIO(rec)))
+    assert r["headers"]["warc-target-uri"] == "http://x.example/very /long/path"
+
+    # bare-LF HTTP headers (non-compliant server captured raw)
+    body, ctype = _split_http_payload(
+        b"HTTP/1.0 200 OK\nContent-Type: text/html\n\n<p>x</p>"
+    )
+    assert body == b"<p>x</p>" and ctype == "text/html"
+    # compliant CRLF headers, body containing LFLF: split at CRLFCRLF
+    body, _ = _split_http_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\na\n\nb"
+    )
+    assert body == b"a\n\nb"
+    # bare-LF headers, body containing CRLFCRLF: split at the earlier LFLF
+    body, _ = _split_http_payload(
+        b"HTTP/1.0 200 OK\nContent-Type: text/html\n\nc\r\n\r\nd"
+    )
+    assert body == b"c\r\n\r\nd"
+
+
 def test_dechunk():
     body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
     assert _dechunk(body) == b"hello world"
@@ -127,6 +158,24 @@ def test_read_warc_plain_and_gz_members(spark, tmp_path):
     assert bytes(rows["http://b.example/raw.html"]["html"]) == HTML2
     assert bytes(rows["http://c.example/z"]["html"]) == b"<p>ab</p>"  # dechunked
     assert rows["http://c.example/y"]["source_file"].endswith("b.warc.gz")
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """Common Crawl .wet sidecars are WARC files of `conversion`
+    records (pre-extracted text/plain) — read_warc ingests them with
+    the default record_types, payload passed through verbatim."""
+    wet = _record(
+        "conversion",
+        "http://a.example/x",
+        "2024-03-01T10:00:00Z",
+        "already extracted text\nsecond line".encode(),
+    )
+    p = tmp_path / "a.warc.wet.gz"
+    p.write_bytes(gzip.compress(wet))
+    df = read_warc(spark, str(p))
+    r = df.first()
+    assert r["warc_type"] == "conversion"
+    assert bytes(r["html"]) == b"already extracted text\nsecond line"
 
 
 def test_warc_to_pages_canonical_schema(spark, tmp_path):
