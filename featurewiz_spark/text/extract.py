@@ -111,8 +111,17 @@ def extract_text(
     expressed as a regexp_replace/higher-order-function cascade — stays
     inside whole-stage codegen, no Python workers, scan-speed at 100TB.
     Byte-identity vs the Python oracle is pytest-enforced
-    (tests/test_text.py::test_sql_extractor_matches_python_oracle)."""
-    s = F.decode(F.col(html_col), "UTF-8")
+    (tests/test_text.py::test_sql_extractor_matches_python_oracle).
+
+    Decode is the CAST, not strict decode(): real crawl payloads
+    contain malformed UTF-8, and Spark 4 ANSI decode() aborts the whole
+    job on the first bad byte (MALFORMED_CHARACTER_CODING). The
+    binary→string cast replaces invalid sequences with U+FFFD — the
+    same errors='replace' policy extract_one pins on the Python side —
+    and is bit-identical to decode() on valid input. Also makes the
+    function accept an already-decoded string column (string→string
+    cast is a no-op)."""
+    s = F.col(html_col).cast("string")
     s = F.regexp_replace(s, r"(?is)<script\b.*?</script\s*>", " ")
     s = F.regexp_replace(s, r"(?is)<style\b.*?</style\s*>", " ")
     title = F.regexp_extract(s, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)

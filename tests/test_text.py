@@ -20,6 +20,38 @@ def test_extractor_byte_identical_on_pages(spark):
     assert out.filter("sql_text != text OR py_text != text").count() == 0
 
 
+def test_extractor_malformed_utf8_no_abort(spark):
+    """Real crawl payloads contain malformed UTF-8; Spark 4 ANSI
+    decode() would abort the whole job on the first bad byte, so the
+    JVM extractor uses the binary→string CAST (U+FFFD replacement —
+    extract_one's errors='replace'). Both paths must survive, and stay
+    byte-identical for every common malformed class. Known, documented
+    deviation: CESU-8 surrogate triples (\\xed\\xa0\\x80) collapse to
+    ONE U+FFFD in Java but THREE in Python — decoder granularity, both
+    lenient."""
+    from featurewiz_spark.text.extract import extract_one, extract_text
+
+    samples = [
+        b"\xff\xfe<html><p>x</p></html>",  # invalid lead bytes
+        b"<html><title>t\xe2\x82</title><p>body</p></html>",  # truncated
+        b"<p>a\xc3\x28b</p>",  # bad continuation
+        b"<p>ok \xf0\x9f\x98\x80 emoji</p>",  # valid 4-byte passthrough
+        b"\x80\x81\x82<div>tail</div>",  # orphan continuations
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(s),) for s in samples], "html binary"
+    )
+    out = [r["t"] for r in extract_text(df, "html", "t").collect()]
+    for s, jvm in zip(samples, out):
+        assert jvm == extract_one(s)
+    # the documented CESU-8 divergence: same text modulo U+FFFD count
+    sur = b"<p>\xed\xa0\x80 surrogate</p>"
+    df2 = spark.createDataFrame([(bytearray(sur),)], "html binary")
+    jvm = extract_text(df2, "html", "t").first()["t"]
+    py = extract_one(sur)
+    assert jvm.replace("�", "") == py.replace("�", "")
+
+
 def test_extractor_drops_script_style_decodes_entities():
     html = (
         b"<html><head><title>T&amp;1</title><style>x{}</style></head>"

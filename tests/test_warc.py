@@ -178,6 +178,93 @@ def test_read_wet_conversion_records(spark, tmp_path):
     assert bytes(r["html"]) == b"already extracted text\nsecond line"
 
 
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """availableNow streaming run over a landing dir equals the batch
+    reader record-for-record (url, payload md5, length, type)."""
+    from featurewiz_spark.streaming.stream_warc import stream_warc
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.warc").write_bytes(_warc_bytes())
+    (landing / "b.warc.gz").write_bytes(
+        gzip.compress(
+            _record(
+                "response",
+                "http://c.example/y",
+                "2024-03-03T09:00:00Z",
+                _http(HTML2),
+            )
+        )
+    )
+
+    def canon(df):
+        from pyspark.sql import functions as F
+
+        return sorted(
+            (r["url"], r["m"], r["content_length"], r["warc_type"])
+            for r in df.select(
+                "url",
+                F.md5("html").alias("m"),
+                "content_length",
+                "warc_type",
+            ).collect()
+        )
+
+    q = (
+        stream_warc(spark, str(landing))
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = canon(spark.sql("select * from warc_stream_t"))
+    want = canon(read_warc(spark, str(landing)))
+    assert got == want and len(got) == 3
+
+
+def test_stream_warc_pages_exactly_once_resume(spark, tmp_path):
+    """Checkpointed availableNow runs: a second trigger after a new
+    segment lands processes ONLY the new file — no re-ingestion."""
+    from featurewiz_spark.streaming.stream_warc import stream_warc_pages
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "pages_out")
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "seg0.warc").write_bytes(
+        _record(
+            "response", "http://a.example/x", "2024-03-01T10:00:00Z", _http(HTML1)
+        )
+    )
+
+    def run_once():
+        q = (
+            stream_warc_pages(spark, str(landing))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+    (landing / "seg1.warc").write_bytes(
+        _record(
+            "response", "http://b.example/y", "2024-03-02T10:00:00Z", _http(HTML2)
+        )
+    )
+    run_once()
+    df = spark.read.parquet(out)
+    assert df.count() == 2  # seg0 NOT re-ingested
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    texts = {r["url"]: r["text"] for r in df.collect()}
+    assert texts["http://a.example/x"] == extract_one(HTML1)
+
+
 def test_warc_to_pages_canonical_schema(spark, tmp_path):
     p = tmp_path / "a.warc"
     p.write_bytes(_warc_bytes())
