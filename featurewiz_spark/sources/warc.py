@@ -268,6 +268,7 @@ def warc_to_pages(
     paths: str | Iterable[str],
     html_only: bool = True,
     langid_impl: str = "pandas",
+    charset_aware: bool = False,
     **read_kwargs,
 ) -> DataFrame:
     """WARC files → the canonical pages table
@@ -278,11 +279,22 @@ def warc_to_pages(
     ``days(warc_ts)/bucket(url)`` layout) to land the lakehouse the
     north star describes. One linear pass, no shuffle — partitioning
     follows the file distribution of read_warc.
+
+    ``charset_aware=True`` inserts text.charset.transcode_to_utf8
+    before extraction (HTTP charset param > early <meta> sniff >
+    utf-8): recommended for real crawls, where a large minority of
+    pages are legacy-encoded and a blind UTF-8 read yields U+FFFD
+    soup. Off by default so the payload column stays byte-identical to
+    the archive.
     """
     from featurewiz_spark.text.extract import extract_text
     from featurewiz_spark.text.langid import add_language_id_ngram
 
     df = read_warc(spark, paths, **read_kwargs)
+    if charset_aware:
+        from featurewiz_spark.text.charset import transcode_to_utf8
+
+        df = transcode_to_utf8(df, "html", "content_type", charset_out=None)
     if html_only:
         df = df.where(
             F.col("url").isNotNull()

@@ -112,6 +112,7 @@ def stream_warc_pages(
     landing_dir: str,
     html_only: bool = True,
     langid_impl: str = "pandas",
+    charset_aware: bool = False,
     **stream_kwargs,
 ) -> DataFrame:
     """Streaming twin of sources.warc.warc_to_pages: landing dir →
@@ -123,6 +124,10 @@ def stream_warc_pages(
     from featurewiz_spark.text.langid import add_language_id_ngram
 
     df = stream_warc(spark, landing_dir, **stream_kwargs)
+    if charset_aware:
+        from featurewiz_spark.text.charset import transcode_to_utf8
+
+        df = transcode_to_utf8(df, "html", "content_type", charset_out=None)
     if html_only:
         df = df.where(
             F.col("url").isNotNull()

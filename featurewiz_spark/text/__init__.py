@@ -1,3 +1,4 @@
+from featurewiz_spark.text.charset import detect_charset, transcode_to_utf8
 from featurewiz_spark.text.extract import extract_text, extract_text_udf
 from featurewiz_spark.text.langid import add_language_id_ngram
 from featurewiz_spark.text.stats import (
@@ -17,4 +18,6 @@ __all__ = [
     "add_language_id_ngram",
     "add_language_id_stopword",
     "add_fingerprint",
+    "detect_charset",
+    "transcode_to_utf8",
 ]
