@@ -7,6 +7,7 @@ North-rule packaging contract: runs on a multi-executor cluster via
         --py-files dist/featurewiz_spark.zip \
         jobs/pages_pipeline_job.py \
         --input  s3://…/pages  --output s3://…/features \
+        [--input-format warc [--charset-aware]]   # raw crawl dump in
         [--snapshots s3://…/snaps --tolerance '7 days'] \
         [--resume-dir s3://…/checkpoints --buckets 256]
 
@@ -31,7 +32,17 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="pages parquet/iceberg path")
+    ap.add_argument("--input", required=True, help="pages parquet/iceberg path, or a WARC dir/glob with --input-format warc")
+    ap.add_argument("--input-format", default="table", choices=("table", "warc"),
+                    help="'table' reads --table-format at --input; 'warc' "
+                         "ingests raw crawl archives via "
+                         "sources.warc.warc_to_pages (url/warc_ts/html/"
+                         "text/lang), so the job runs straight off a "
+                         "Common-Crawl-style dump")
+    ap.add_argument("--charset-aware", action="store_true",
+                    help="with --input-format warc: transcode "
+                         "legacy-encoded pages to UTF-8 (HTTP charset "
+                         "param > meta sniff) before extraction")
     ap.add_argument("--output", required=True, help="feature output path")
     ap.add_argument("--snapshots", default=None, help="optional snapshot table for as-of join")
     ap.add_argument("--gap", default="30 minutes", help="sessionization gap")
@@ -66,7 +77,16 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
     )
-    pages = read_table(spark, args.input, args.table_format)
+    if args.input_format == "warc":
+        from featurewiz_spark.sources.warc import warc_to_pages
+
+        pages = warc_to_pages(
+            spark, args.input, charset_aware=args.charset_aware
+        )
+        # warc_to_pages already produced the canonical text column
+        args.no_extract = True
+    else:
+        pages = read_table(spark, args.input, args.table_format)
     snapshots = (
         read_table(spark, args.snapshots, args.table_format)
         if args.snapshots else None

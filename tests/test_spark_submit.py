@@ -75,6 +75,67 @@ def test_spark_submit_pyfiles_job(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
+def test_spark_submit_warc_input(spark):
+    """--input-format warc: the packaged job runs straight off a raw
+    crawl dump (WARC dir -> canonical pages -> feature vectors)."""
+    import gzip
+
+    from tests.test_warc import _http, _record
+
+    tmp = tempfile.mkdtemp(prefix="fw_submit_warc_")
+    try:
+        landing = os.path.join(tmp, "landing")
+        os.makedirs(landing)
+        parts = []
+        for i in range(40):
+            html = (
+                f"<html><title>p{i}</title><body><p>body {i} café"
+                "</p></body></html>"
+            ).encode()
+            parts.append(
+                gzip.compress(
+                    _record(
+                        "response",
+                        f"http://site{i % 5}.test/p",
+                        f"2024-03-{(i % 27) + 1:02d}T10:00:00Z",
+                        _http(html),
+                    )
+                )
+            )
+        with open(os.path.join(landing, "seg0.warc.gz"), "wb") as f:
+            f.write(b"".join(parts))
+        outp = os.path.join(tmp, "features")
+
+        subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "package.sh")], check=True
+        )
+        env = dict(os.environ, PYSPARK_PYTHON=sys.executable,
+                   PYSPARK_DRIVER_PYTHON=sys.executable)
+        r = subprocess.run(
+            [
+                _spark_submit(),
+                "--master", "local[2]",
+                "--py-files", os.path.join(REPO, "dist", "featurewiz_spark.zip"),
+                "--conf", "spark.ui.enabled=false",
+                os.path.join(REPO, "jobs", "pages_pipeline_job.py"),
+                "--input", landing,
+                "--input-format", "warc",
+                "--charset-aware",
+                "--output", outp,
+            ],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        got = spark.read.parquet(outp)
+        assert got.count() == 40
+        cols = set(got.columns)
+        assert {"url", "warc_ts", "text", "lang", "session_id", "n_chars"} <= cols
+        assert got.where("text like '%café%'").count() == 40
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_packaged_zip_matches_source():
     """The committed --py-files artifact must be byte-identical to the
     source tree. Found stale twice in round 4 (the audio leg was
