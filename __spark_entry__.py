@@ -1873,6 +1873,29 @@ def _q102_xlsx_roundtrip(spark, sf):
     return read_any(spark, path)
 
 
+_Q103_E1 = "SELECT doc_id AS src, (doc_id*7+3) % 500 AS dst FROM documents WHERE doc_id % 11 <> 0"
+_Q103_E2 = (
+    "SELECT doc_id AS src, (doc_id*13+1) % 500 AS dst FROM documents "
+    "WHERE doc_id % 11 <> 0 AND doc_id % 3 = 0"
+)
+
+
+def _q103_pagerank(spark, sf):
+    """Fixed-point PageRank (operators/pagerank.py) over a
+    deterministic link graph derived from documents (docs with
+    doc_id%11==0 have no out-edges -> real dangling mass). Every step
+    is BIGINT arithmetic with damping as the exact rational 17/20, so
+    the result is bit-identical across partitionings AND engines — the
+    oracle runs the SAME recurrence unrolled as CTEs (pagerank_sql)."""
+    from featurewiz_spark.operators.pagerank import pagerank
+
+    docs = _t(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents")
+    e1 = spark.sql(_Q103_E1)
+    e2 = spark.sql(_Q103_E2)
+    return pagerank(e1.unionAll(e2), iterations=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -1977,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_exact_substring": _q100_exact_substring,
         "q101_warc_roundtrip": _q101_warc_roundtrip,
         "q102_xlsx_roundtrip": _q102_xlsx_roundtrip,
+        "q103_pagerank": _q103_pagerank,
     }
 
 
@@ -3413,6 +3437,13 @@ def _generated_oracles() -> dict[str, str]:
                         || '</p></body></html>') AS payload_md5
             FROM documents
         """,
+        # q103: the SAME fixed-point integer recurrence (SCALE=10^12,
+        # damping = exact 17/20, DIV everywhere) unrolled as one CTE
+        # block per iteration — bit-identical by construction, no float
+        # appears in either engine.
+        "q103_pagerank": __import__(
+            "featurewiz_spark.operators.pagerank", fromlist=["pagerank_sql"]
+        ).pagerank_sql(f"(({_Q103_E1}) UNION ALL ({_Q103_E2}))", iterations=8),
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,
         # including the integral->int64 downcast and NULL-as-sparse-cell.
