@@ -1896,6 +1896,40 @@ def _q103_pagerank(spark, sf):
     return pagerank(e1.unionAll(e2), iterations=8)
 
 
+_Q104_PAGES_SQL = """
+    SELECT 'https://site' || (doc_id % 19) || '.example/d/' || doc_id
+             || '.html' AS url,
+           '<html><body><a href="/doc/' || ((doc_id * 3 + 1) % 500)
+             || '.html">a</a>'
+           || CASE WHEN doc_id % 4 = 0 THEN '<a href=''https://ext'
+                || (doc_id % 7) || '.example/p''>x</a>' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '<a href="rel' || doc_id
+                || '.html#f">r</a>' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                THEN '<a href="mailto:a@b.c">m</a>' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN '<a href=//cdn' || (doc_id % 3)
+                  || '.example/l.js>c</a>' ELSE '' END
+           || '</body></html>' AS text_html
+    FROM documents
+"""
+
+
+def _q104_extract_links(spark, sf):
+    """Link extraction (text/links.py): pages with absolute /
+    protocol-relative / root-relative / relative / fragment / mailto
+    hrefs are synthesized from documents by ONE SQL expression shared
+    verbatim with the oracle, then extract_links applies the pinned
+    resolution semantics; the oracle runs the mirror generated from
+    the SAME regex constants over the SAME synthesized pages."""
+    from featurewiz_spark.text.links import extract_links
+
+    docs = _t(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents")
+    pages = spark.sql(_Q104_PAGES_SQL)
+    return extract_links(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -2001,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_warc_roundtrip": _q101_warc_roundtrip,
         "q102_xlsx_roundtrip": _q102_xlsx_roundtrip,
         "q103_pagerank": _q103_pagerank,
+        "q104_extract_links": _q104_extract_links,
     }
 
 
@@ -3444,6 +3479,15 @@ def _generated_oracles() -> dict[str, str]:
         "q103_pagerank": __import__(
             "featurewiz_spark.operators.pagerank", fromlist=["pagerank_sql"]
         ).pagerank_sql(f"(({_Q103_E1}) UNION ALL ({_Q103_E2}))", iterations=8),
+        # q104: the pages CTE is the SAME SQL string the Spark side
+        # runs, and the extraction/resolution SQL is generated from the
+        # SAME regex constants (text/links.py) — single source of truth.
+        "q104_extract_links": "WITH pages AS ("
+        + _Q104_PAGES_SQL
+        + "), "
+        + __import__(
+            "featurewiz_spark.text.links", fromlist=["extract_links_sql"]
+        ).extract_links_sql("pages").lstrip().removeprefix("WITH "),
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,
         # including the integral->int64 downcast and NULL-as-sparse-cell.

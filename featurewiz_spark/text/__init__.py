@@ -1,6 +1,7 @@
 from featurewiz_spark.text.charset import detect_charset, transcode_to_utf8
 from featurewiz_spark.text.extract import extract_text, extract_text_udf
 from featurewiz_spark.text.langid import add_language_id_ngram
+from featurewiz_spark.text.links import extract_links
 from featurewiz_spark.text.stats import (
     add_fingerprint,
     add_language_id,
@@ -20,4 +21,5 @@ __all__ = [
     "add_fingerprint",
     "detect_charset",
     "transcode_to_utf8",
+    "extract_links",
 ]
