@@ -58,14 +58,29 @@ WARC_SCHEMA = T.StructType(
 _DEFAULT_TYPES = ("response", "resource", "conversion")
 
 
-def _open_stream(path: str) -> io.BufferedReader:
-    """Open a WARC file for streaming; gzip members are handled
-    transparently (Python's gzip reads concatenated members)."""
+def _open_stream(path: str):
+    """Open a WARC file for streaming. Paths with a URI scheme
+    (s3://, gs://, hdfs://, file://) go through pyarrow.fs with
+    compression=None — pyarrow would otherwise auto-decompress by
+    extension with Arrow's codec, and stdlib gzip's multi-member
+    semantics (one member per record, the Common Crawl layout) is the
+    contract here. gzip members are handled transparently (Python's
+    gzip reads concatenated members)."""
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        raw = fs.open_input_stream(rel, compression=None)
+        if not path.endswith(".gz"):
+            # NativeFile has no readline; BufferedReader supplies it
+            raw = io.BufferedReader(raw)
+    else:
+        raw = open(path, "rb")
     if path.endswith(".gz"):
         import gzip
 
-        return gzip.open(path, "rb")  # type: ignore[return-value]
-    return open(path, "rb")
+        return gzip.GzipFile(fileobj=raw)
+    return raw
 
 
 def _parse_headers(lines: list[bytes]) -> dict[str, str]:
@@ -209,14 +224,35 @@ def read_warc(
     stripped and chunking decoded for response records).
     """
     if isinstance(paths, str):
-        import glob as _glob
-        import os as _os
+        if "://" in paths:
+            # object-store / hdfs directory: list via pyarrow.fs and
+            # keep the scheme on each path for the task-side open
+            import pyarrow.fs as pafs
 
-        expanded = (
-            sorted(_glob.glob(_os.path.join(paths, "*.warc*")))
-            if _os.path.isdir(paths)
-            else sorted(_glob.glob(paths))
-        )
+            scheme = paths.split("://", 1)[0]
+            fs, rel = pafs.FileSystem.from_uri(paths)
+            info = fs.get_file_info(rel)
+            if info.type == pafs.FileType.Directory:
+                expanded = sorted(
+                    f"{scheme}://{i.path}"
+                    for i in fs.get_file_info(
+                        pafs.FileSelector(rel, recursive=False)
+                    )
+                    if i.is_file and ".warc" in i.base_name
+                )
+            elif info.type == pafs.FileType.File:
+                expanded = [paths]
+            else:
+                expanded = []
+        else:
+            import glob as _glob
+            import os as _os
+
+            expanded = (
+                sorted(_glob.glob(_os.path.join(paths, "*.warc*")))
+                if _os.path.isdir(paths)
+                else sorted(_glob.glob(paths))
+            )
         if not expanded:
             raise ValueError(f"no WARC files match {paths!r}")
         paths = expanded

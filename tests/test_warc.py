@@ -265,6 +265,30 @@ def test_stream_warc_pages_exactly_once_resume(spark, tmp_path):
     assert texts["http://a.example/x"] == extract_one(HTML1)
 
 
+def test_read_warc_uri_scheme_via_pyarrow_fs(spark, tmp_path):
+    """file:// URIs exercise the pyarrow.fs route (the same code path
+    as s3://, gs://, hdfs://): listing, raw open (no pyarrow
+    auto-decompress — stdlib gzip keeps multi-member semantics)."""
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip.compress(
+            _record(
+                "response",
+                "http://c.example/y",
+                "2024-03-03T09:00:00Z",
+                _http(HTML2),
+            )
+        )
+    )
+    df = read_warc(spark, f"file://{tmp_path}")
+    urls = {r["url"] for r in df.collect()}
+    assert urls == {
+        "http://a.example/x",
+        "http://b.example/raw.html",
+        "http://c.example/y",
+    }
+
+
 def test_warc_to_pages_canonical_schema(spark, tmp_path):
     p = tmp_path / "a.warc"
     p.write_bytes(_warc_bytes())
