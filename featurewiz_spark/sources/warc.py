@@ -50,6 +50,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType(), True),
         T.StructField("record_id", T.StringType(), True),
         T.StructField("content_length", T.LongType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
         T.StructField("source_file", T.StringType(), True),
     ]
 )
@@ -117,21 +118,27 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
-def _split_http_payload(block: bytes) -> tuple[bytes, str | None]:
+def _split_http_payload(block: bytes) -> tuple[bytes, str | None, int | None]:
     """response-record block = raw HTTP response. Returns (body bytes,
-    Content-Type). Chunked bodies are dechunked; a block that does not
-    start with an HTTP status line is returned whole."""
+    Content-Type, status code). Chunked bodies are dechunked; a block
+    that does not start with an HTTP status line is returned whole."""
     if not block.startswith(b"HTTP/"):
-        return block, None
+        return block, None, None
     # header terminator: CRLFCRLF per spec, bare LFLF from non-compliant
     # servers captured raw (warcio-style leniency). Whichever terminator
     # appears FIRST ends the headers — for compliant responses the first
     # LFLF can only be in the body (CRLFCRLF contains no LFLF), and for
     # bare-LF responses the first CRLFCRLF can only be in the body.
+    status: int | None = None
+    first_sp = block.find(b" ")
+    if 0 < first_sp < 12:
+        tok = block[first_sp + 1 : first_sp + 4]
+        if tok.isdigit():
+            status = int(tok)
     sep_crlf = block.find(b"\r\n\r\n")
     sep_lf = block.find(b"\n\n")
     if sep_crlf < 0 and sep_lf < 0:
-        return block, None
+        return block, None, status
     if sep_lf < 0 or (0 <= sep_crlf < sep_lf):
         sep, width = sep_crlf, 4
     else:
@@ -142,7 +149,7 @@ def _split_http_payload(block: bytes) -> tuple[bytes, str | None]:
     body = block[sep + width :]
     if "chunked" in http_headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
-    return body, http_headers.get("content-type")
+    return body, http_headers.get("content-type"), status
 
 
 def iter_warc_records(
@@ -271,7 +278,7 @@ def read_warc(
                         h = rec["headers"]
                         if h.get("warc-type", "").lower() not in wanted:
                             continue
-                        body, ctype = _split_http_payload(rec["block"])
+                        body, ctype, status = _split_http_payload(rec["block"])
                         rows.append(
                             (
                                 h.get("warc-target-uri"),
@@ -281,6 +288,7 @@ def read_warc(
                                 ctype or h.get("content-type"),
                                 h.get("warc-record-id"),
                                 len(body),
+                                status,
                                 path,
                             )
                         )
@@ -338,6 +346,9 @@ def warc_to_pages(
             & F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith(
                 "text/html"
             )
+            # non-response records carry no status; for responses keep
+            # only 200s (the standard curation gate)
+            & (F.col("http_status").isNull() | (F.col("http_status") == 200))
         )
     df = extract_text(df, html_col="html", out_col="text")
     df = add_language_id_ngram(df, text_col="text", out_col="lang", impl=langid_impl)

@@ -89,7 +89,7 @@ def stream_warc(
                     h = rec["headers"]
                     if h.get("warc-type", "").lower() not in wanted:
                         continue
-                    body, ctype = _split_http_payload(rec["block"])
+                    body, ctype, status = _split_http_payload(rec["block"])
                     rows.append(
                         (
                             h.get("warc-target-uri"),
@@ -99,6 +99,7 @@ def stream_warc(
                             ctype or h.get("content-type"),
                             h.get("warc-record-id"),
                             len(body),
+                            status,
                             path,
                         )
                     )
@@ -135,6 +136,9 @@ def stream_warc_pages(
             & F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith(
                 "text/html"
             )
+            # non-response records carry no status; for responses keep
+            # only 200s (the standard curation gate)
+            & (F.col("http_status").isNull() | (F.col("http_status") == 200))
         )
     df = extract_text(df, html_col="html", out_col="text")
     df = add_language_id_ngram(df, text_col="text", out_col="lang", impl=langid_impl)

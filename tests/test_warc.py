@@ -97,17 +97,17 @@ def test_folded_warc_header_and_bare_lf_http():
     assert r["headers"]["warc-target-uri"] == "http://x.example/very /long/path"
 
     # bare-LF HTTP headers (non-compliant server captured raw)
-    body, ctype = _split_http_payload(
+    body, ctype, status = _split_http_payload(
         b"HTTP/1.0 200 OK\nContent-Type: text/html\n\n<p>x</p>"
     )
-    assert body == b"<p>x</p>" and ctype == "text/html"
+    assert body == b"<p>x</p>" and ctype == "text/html" and status == 200
     # compliant CRLF headers, body containing LFLF: split at CRLFCRLF
-    body, _ = _split_http_payload(
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\na\n\nb"
+    body, _, status = _split_http_payload(
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\na\n\nb"
     )
-    assert body == b"a\n\nb"
+    assert body == b"a\n\nb" and status == 404
     # bare-LF headers, body containing CRLFCRLF: split at the earlier LFLF
-    body, _ = _split_http_payload(
+    body, _, _ = _split_http_payload(
         b"HTTP/1.0 200 OK\nContent-Type: text/html\n\nc\r\n\r\nd"
     )
     assert body == b"c\r\n\r\nd"
@@ -154,6 +154,8 @@ def test_read_warc_plain_and_gz_members(spark, tmp_path):
     a = rows["http://a.example/x"]
     assert bytes(a["html"]) == HTML1  # HTTP headers stripped
     assert a["content_type"].startswith("text/html")
+    assert a["http_status"] == 200
+    assert rows["http://b.example/raw.html"]["http_status"] is None  # resource
     assert a["warc_ts"].isoformat() == "2024-03-01T10:00:00"
     assert bytes(rows["http://b.example/raw.html"]["html"]) == HTML2
     assert bytes(rows["http://c.example/z"]["html"]) == b"<p>ab</p>"  # dechunked
