@@ -1930,6 +1930,50 @@ def _q104_extract_links(spark, sf):
     return extract_links(pages)
 
 
+_Q105_ROBOTS_SQL = """
+    SELECT DISTINCT 'h' || (doc_id % 10) || '.example' AS host,
+           CASE (doc_id % 10)
+             WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+             WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /p'
+                    || chr(10) || 'Allow: /pub'
+             WHEN 2 THEN 'User-agent: ccbot' || chr(10) || 'Disallow: /cc'
+                    || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+                    || 'Disallow: /'
+             WHEN 3 THEN 'no rules here # junk'
+             ELSE 'User-agent: *' || chr(10) || 'Disallow: /private/'
+           END AS robots_txt
+    FROM documents
+"""
+
+_Q105_PAGES_SQL = """
+    SELECT doc_id,
+           'https://h' || (doc_id % 10) || '.example/' ||
+           CASE (doc_id % 4)
+             WHEN 0 THEN 'pub/x.html'
+             WHEN 1 THEN 'p/y.html'
+             WHEN 2 THEN 'cc/z.html'
+             ELSE 'private/w.html'
+           END AS url
+    FROM documents
+"""
+
+
+def _q105_robots_filter(spark, sf):
+    """robots.txt compliance (text/robots.py): robots bodies and page
+    URLs synthesized from documents by SQL shared verbatim with the
+    oracle; parse (group runs, ccbot-over-* selection, empty-value
+    drop) and longest-prefix/allow-tie verdict both re-derived by the
+    generated mirror from the SAME patterns and tie-break key."""
+    from featurewiz_spark.text.robots import apply_robots, parse_robots
+
+    docs = _t(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents")
+    robots = spark.sql(_Q105_ROBOTS_SQL)
+    pages = spark.sql(_Q105_PAGES_SQL)
+    rules = parse_robots(robots, user_agent="ccbot")
+    return apply_robots(pages, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -2036,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_xlsx_roundtrip": _q102_xlsx_roundtrip,
         "q103_pagerank": _q103_pagerank,
         "q104_extract_links": _q104_extract_links,
+        "q105_robots_filter": _q105_robots_filter,
     }
 
 
@@ -3488,6 +3533,16 @@ def _generated_oracles() -> dict[str, str]:
         + __import__(
             "featurewiz_spark.text.links", fromlist=["extract_links_sql"]
         ).extract_links_sql("pages").lstrip().removeprefix("WITH "),
+        # q105: robots bodies + pages from the SAME synthesis SQL; the
+        # parse/verdict mirror is generated from the SAME patterns and
+        # the same integer tie-break key (text/robots.py).
+        "q105_robots_filter": __import__(
+            "featurewiz_spark.text.robots", fromlist=["robots_sql"]
+        ).robots_sql(
+            "(" + _Q105_ROBOTS_SQL + ")",
+            "(" + _Q105_PAGES_SQL + ")",
+            user_agent="ccbot",
+        ),
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,
         # including the integral->int64 downcast and NULL-as-sparse-cell.
