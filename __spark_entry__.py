@@ -1974,6 +1974,44 @@ def _q105_robots_filter(spark, sf):
     return apply_robots(pages, rules)
 
 
+_Q106_LINES_SQL = """
+    SELECT 'com,d' || (doc_id % 19) || ')/' || doc_id || ' '
+           || '202401' || lpad(CAST(1 + doc_id % 27 AS STRING), 2, '0')
+           || lpad(CAST(doc_id % 24 AS STRING), 2, '0')
+           || lpad(CAST(doc_id % 60 AS STRING), 2, '0') || '00'
+           || ' {"url": "https://d' || (doc_id % 19) || '.example/p'
+           || doc_id || '", "mime": "text/html", "status": "'
+           || CASE WHEN doc_id % 7 = 0 THEN '404' ELSE '200' END
+           || '", "digest": "sha1:' || doc_id || '", "length": "'
+           || n_chars || '", "offset": "' || (doc_id * 1000)
+           || '", "filename": "seg' || (doc_id % 4) || '.warc.gz"}'
+           AS line
+    FROM documents
+"""
+
+
+def _q106_cdx_roundtrip(spark, sf):
+    """CDX index reader (sources/cdx.py): index lines synthesized from
+    documents by SQL shared verbatim with the oracle, written to real
+    .cdx text files, read back through read_cdx (spark.read.text +
+    codegen regexp/json parse, try_to_timestamp leniency), with a junk
+    header line injected to prove the validity filter. The oracle runs
+    the generated mirror over the same lines CTE."""
+    import os
+
+    from featurewiz_spark.sources.cdx import read_cdx
+
+    docs = _t(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents")
+    lines = [r["line"] for r in spark.sql(_Q106_LINES_SQL).collect()]
+    d = _fixture_dir("fw_q106_cdx_")
+    for i in range(2):
+        with open(os.path.join(d, f"idx{i}.cdx"), "w") as f:
+            f.write("# junk header line\n")  # must vanish
+            f.write("\n".join(lines[i::2]) + "\n")
+    return read_cdx(spark, d + "/*.cdx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -2081,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_pagerank": _q103_pagerank,
         "q104_extract_links": _q104_extract_links,
         "q105_robots_filter": _q105_robots_filter,
+        "q106_cdx_roundtrip": _q106_cdx_roundtrip,
     }
 
 
@@ -3543,6 +3582,15 @@ def _generated_oracles() -> dict[str, str]:
             "(" + _Q105_PAGES_SQL + ")",
             user_agent="ccbot",
         ),
+        # q106: the same synthesized lines parsed by the mirror
+        # generated from the SAME patterns/field list (sources/cdx.py);
+        # the Spark side adds a real text-file round-trip.
+        "q106_cdx_roundtrip": "WITH l AS ("
+        + _Q106_LINES_SQL
+        + ") "
+        + __import__(
+            "featurewiz_spark.sources.cdx", fromlist=["cdx_sql"]
+        ).cdx_sql("l", "line"),
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,
         # including the integral->int64 downcast and NULL-as-sparse-cell.

@@ -1,0 +1,100 @@
+"""CDX(J) index reader — Common Crawl's WARC lookup sidecar.
+
+Each crawl ships a CDX index: one text line per capture,
+``<urlkey> <14-digit timestamp> <json>``, where the JSON carries the
+original url, mime, HTTP status, content digest, and the
+(filename, offset, length) triple locating the record inside its WARC
+segment. Reading it is how a cluster plans selective fetches (only
+text/html 200s, only new digests) WITHOUT scanning petabytes of WARC.
+
+Spark-first: the parse is ONE projection over ``spark.read.text`` —
+``regexp_extract`` for the three space-delimited parts and
+``get_json_object`` for the fields, all whole-stage codegen; the text
+source splits large .cdx files by line across tasks (unlike gzip WARC,
+CDX is splittable when uncompressed, and .gz CDX files parallelize at
+file granularity via Spark's codec). No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# shared with the oracle mirror (RE2+Java compatible)
+URLKEY_PAT = r"^(\S+) "
+TS_PAT = r"^\S+ (\d{14}) "
+JSON_PAT = r"^\S+ \d{14} (\{.*\})\s*$"
+CDX_TS_FMT = "yyyyMMddHHmmss"
+
+# JSON field -> (output column, cast type or None)
+CDX_FIELDS = [
+    ("url", "url", None),
+    ("mime", "mime", None),
+    ("status", "http_status", "int"),
+    ("digest", "digest", None),
+    ("length", "length", "bigint"),
+    ("offset", "offset", "bigint"),
+    ("filename", "filename", None),
+]
+
+
+def parse_cdx_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse CDX(J) lines already in a DataFrame column — shared by
+    :func:`read_cdx` and any streaming text source."""
+    line = F.col(line_col)
+    js = F.regexp_extract(line, JSON_PAT, 1)
+    cols = [
+        F.regexp_extract(line, URLKEY_PAT, 1).alias("urlkey"),
+        # try_to_timestamp: ANSI to_timestamp would abort the job on a
+        # junk line's empty extract before the urlkey filter applies
+        F.try_to_timestamp(
+            F.regexp_extract(line, TS_PAT, 1), F.lit(CDX_TS_FMT)
+        ).alias("capture_ts"),
+    ]
+    for field, out, cast in CDX_FIELDS:
+        c = F.get_json_object(js, f"$.{field}")
+        if cast:
+            c = c.cast(cast)
+        cols.append(c.alias(out))
+    # validity = the full three-part shape (the JSON tail is the
+    # discriminating part — any word would match the urlkey pattern);
+    # junk headers/trailers vanish identically in both engines
+    return (
+        df.withColumn("__js", js)
+        .where(F.col("__js") != "")
+        .select(*cols)
+    )
+
+
+def read_cdx(spark: SparkSession, paths: str | list) -> DataFrame:
+    """CDX files → (urlkey, capture_ts, url, mime, http_status, digest,
+    length, offset, filename)."""
+    text = spark.read.text(paths)
+    return parse_cdx_lines(text, "value")
+
+
+def cdx_sql(lines_src: str, line_col: str = "line") -> str:
+    """DuckDB mirror over a (line) relation, generated from the SAME
+    patterns/field list. DuckDB regexp_extract + json_extract_string;
+    the 14-digit timestamp parses with strptime."""
+    def q(p: str) -> str:
+        return "'" + p.replace("'", "''") + "'"
+
+    field_sql = []
+    for field, out, cast in CDX_FIELDS:
+        e = (
+            f"json_extract_string(regexp_extract({line_col}, {q(JSON_PAT)},"
+            f" 1), '$.{field}')"
+        )
+        if cast:
+            e = f"CAST({e} AS {'INTEGER' if cast == 'int' else 'BIGINT'})"
+        field_sql.append(f"{e} AS {out}")
+    fields = ",\n               ".join(field_sql)
+    return f"""
+        SELECT regexp_extract({line_col}, {q(URLKEY_PAT)}, 1) AS urlkey,
+               try_strptime(regexp_extract({line_col}, {q(TS_PAT)}, 1),
+                        '%Y%m%d%H%M%S') AS capture_ts,
+               {fields}
+        FROM {lines_src}
+        WHERE regexp_extract({line_col}, {q(JSON_PAT)}, 1) <> ''
+    """
