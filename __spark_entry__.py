@@ -2012,6 +2012,62 @@ def _q106_cdx_roundtrip(spark, sf):
     return read_cdx(spark, d + "/*.cdx")
 
 
+def _q107_cdx_fetch(spark, sf):
+    """CDX-driven selective fetch (sources/cdx.py::fetch_warc_records):
+    documents encoded into per-record-gzip WARC segments with locators
+    recorded at write time; a SUBSET (doc_id % 3 = 0) is fetched by
+    byte range only — never a full-file scan — and the oracle
+    re-derives the same payload md5 / Content-Length straight from the
+    table for exactly that subset. Equal hashes prove the offset
+    arithmetic, member decompression, and record parse."""
+    import gzip
+    import os
+
+    from featurewiz_spark.sources.cdx import fetch_warc_records
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text").collect()
+    d = _fixture_dir("fw_q107_fetch_")
+    offs: dict[int, int] = {}
+    locators = []
+    bufs: dict[int, list[bytes]] = {}
+    for r in docs:
+        html = (
+            f"<html><title>doc {r['doc_id']}</title><body><p>"
+            f"{r['text']}</p></body></html>"
+        ).encode()
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+        rec = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: http://docs.example/{r['doc_id']}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+        member = gzip.compress(rec)
+        f = int(r["doc_id"]) % 4
+        locators.append((f"seg{f}.warc.gz", offs.get(f, 0), len(member)))
+        offs[f] = offs.get(f, 0) + len(member)
+        bufs.setdefault(f, []).append(member)
+    for f, parts in bufs.items():
+        with open(os.path.join(d, f"seg{f}.warc.gz"), "wb") as fh:
+            fh.write(b"".join(parts))
+    ldf = spark.createDataFrame(
+        [
+            loc
+            for r, loc in zip(docs, locators)
+            if int(r["doc_id"]) % 3 == 0
+        ],
+        "filename string, offset long, length long",
+    )
+    fetched = fetch_warc_records(ldf, base_dir=d)
+    return fetched.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("content_length"),
+        F.md5(F.col("html")).alias("payload_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -2120,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_extract_links": _q104_extract_links,
         "q105_robots_filter": _q105_robots_filter,
         "q106_cdx_roundtrip": _q106_cdx_roundtrip,
+        "q107_cdx_fetch": _q107_cdx_fetch,
     }
 
 
@@ -3591,6 +3648,19 @@ def _generated_oracles() -> dict[str, str]:
         + __import__(
             "featurewiz_spark.sources.cdx", fromlist=["cdx_sql"]
         ).cdx_sql("l", "line"),
+        # q107: subset re-derivation — equal md5/length for exactly the
+        # doc_id%3=0 slice proves the byte-range fetch end to end.
+        "q107_cdx_fetch": """
+            SELECT doc_id,
+                   CAST(strlen('<html><title>doc ' || doc_id
+                        || '</title><body><p>' || text
+                        || '</p></body></html>') AS BIGINT)
+                     AS content_length,
+                   md5('<html><title>doc ' || doc_id
+                        || '</title><body><p>' || text
+                        || '</p></body></html>') AS payload_md5
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,
         # including the integral->int64 downcast and NULL-as-sparse-cell.

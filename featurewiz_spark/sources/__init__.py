@@ -1,6 +1,6 @@
 from featurewiz_spark.sources.pages import generate_pages, pages_schema
 from featurewiz_spark.sources.readers import load_table, read_any
-from featurewiz_spark.sources.cdx import parse_cdx_lines, read_cdx
+from featurewiz_spark.sources.cdx import fetch_warc_records, parse_cdx_lines, read_cdx
 from featurewiz_spark.sources.warc import read_warc, warc_to_pages
 
 __all__ = [
@@ -12,4 +12,5 @@ __all__ = [
     "warc_to_pages",
     "read_cdx",
     "parse_cdx_lines",
+    "fetch_warc_records",
 ]

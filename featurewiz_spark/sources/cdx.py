@@ -73,6 +73,111 @@ def read_cdx(spark: SparkSession, paths: str | list) -> DataFrame:
     return parse_cdx_lines(text, "value")
 
 
+def fetch_warc_records(
+    spark_or_df,
+    base_dir: str | None = None,
+    filename_col: str = "filename",
+    offset_col: str = "offset",
+    length_col: str = "length",
+    parallelism: int | None = None,
+    record_types: tuple[str, ...] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Selective WARC record fetch by CDX locator — the reason the
+    index exists: read ONLY the chosen captures' byte ranges instead
+    of scanning whole segments.
+
+    Input: a DataFrame of (filename, offset, length) locators (e.g. a
+    filtered read_cdx result — 200s only, new digests only). Common
+    Crawl writes ONE gzip member per record, so each (offset, length)
+    slice is independently decompressable. Output: the batch reader's
+    WARC_SCHEMA, one row per fetched record.
+
+    Scale: locators hash-partition by filename; each task sorts its
+    files' offsets ascending and seek-reads ranges from one open
+    handle — monotone forward seeks, the object-store-friendly
+    pattern. Task memory is O(largest record). URI-scheme paths go
+    through pyarrow.fs random-access files.
+    """
+    import io as _io
+
+    from featurewiz_spark.sources.warc import (
+        _DEFAULT_TYPES,
+        WARC_SCHEMA,
+        _parse_warc_date,
+        _split_http_payload,
+        iter_warc_records,
+    )
+
+    df = spark_or_df
+    wanted = {t.lower() for t in (record_types or _DEFAULT_TYPES)}
+
+    def _full_path(name: str) -> str:
+        if base_dir is None or "://" in name or name.startswith("/"):
+            return name
+        sep = "" if base_dir.endswith("/") else "/"
+        return base_dir + sep + name
+
+    def _open_random(path: str):
+        if "://" in path:
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(path)
+            return fs.open_input_file(rel)  # random-access
+        return open(path, "rb")
+
+    def _fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.sort_values([filename_col, offset_col])
+            rows: list[tuple] = []
+            cur_name, handle = None, None
+            try:
+                for name, off, ln in zip(
+                    pdf[filename_col], pdf[offset_col], pdf[length_col]
+                ):
+                    path = _full_path(str(name))
+                    if path != cur_name:
+                        if handle is not None:
+                            handle.close()
+                        handle = _open_random(path)
+                        cur_name = path
+                    handle.seek(int(off))
+                    blob = handle.read(int(ln))
+                    if blob[:2] == b"\x1f\x8b":  # per-record gzip member
+                        import gzip
+
+                        blob = gzip.decompress(blob)
+                    for rec in iter_warc_records(
+                        _io.BytesIO(blob), strict=strict
+                    ):
+                        h = rec["headers"]
+                        if h.get("warc-type", "").lower() not in wanted:
+                            continue
+                        body, ctype, status = _split_http_payload(rec["block"])
+                        rows.append(
+                            (
+                                h.get("warc-target-uri"),
+                                _parse_warc_date(h.get("warc-date")),
+                                body,
+                                h.get("warc-type"),
+                                ctype or h.get("content-type"),
+                                h.get("warc-record-id"),
+                                len(body),
+                                status,
+                                path,
+                            )
+                        )
+            finally:
+                if handle is not None:
+                    handle.close()
+            yield pd.DataFrame(rows, columns=WARC_SCHEMA.fieldNames())
+
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, filename_col).mapInPandas(_fetch, WARC_SCHEMA)
+
+
 def cdx_sql(lines_src: str, line_col: str = "line") -> str:
     """DuckDB mirror over a (line) relation, generated from the SAME
     patterns/field list. DuckDB regexp_extract + json_extract_string;

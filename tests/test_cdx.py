@@ -35,6 +35,45 @@ def test_read_cdx(spark, tmp_path):
     assert rows["org,test)/x"]["offset"] == 99
 
 
+def test_fetch_warc_records_by_offset(spark, tmp_path):
+    """CDX -> selective fetch: per-record gzip members sliced at their
+    recorded (offset, length) decode back to the exact payloads, files
+    opened once per task with ascending seeks."""
+    import gzip
+
+    from featurewiz_spark.sources.cdx import fetch_warc_records
+    from tests.test_warc import _http, _record
+
+    locators, payloads = [], {}
+    for f in range(2):
+        path = tmp_path / f"seg{f}.warc.gz"
+        buf, off = [], 0
+        for i in range(6):
+            url = f"https://s{f}.example/p{i}"
+            html = f"<p>doc {f}-{i}</p>".encode()
+            member = gzip.compress(
+                _record("response", url, "2024-03-01T10:00:00Z", _http(html))
+            )
+            locators.append((f"seg{f}.warc.gz", off, len(member), url))
+            payloads[url] = html
+            buf.append(member)
+            off += len(member)
+        path.write_bytes(b"".join(buf))
+
+    # fetch a SUBSET (every other record) by locator
+    chosen = [loc for i, loc in enumerate(locators) if i % 2 == 0]
+    ldf = spark.createDataFrame(
+        chosen, "filename string, offset long, length long, want_url string"
+    )
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in fetch_warc_records(ldf, base_dir=str(tmp_path)).collect()
+    }
+    assert set(got) == {u for _, _, _, u in chosen}
+    for url, html in got.items():
+        assert html == payloads[url]
+
+
 def test_cdx_sql_mirror(spark):
     df = spark.createDataFrame([(ln,) for ln in LINES], "value string")
     got = sorted(map(tuple, parse_cdx_lines(df).collect()))
