@@ -2068,6 +2068,45 @@ def _q107_cdx_fetch(spark, sf):
     )
 
 
+def _q108_warc_write_roundtrip(spark, sf):
+    """Archive-export symmetry (sources/warc.py::write_warc): documents
+    become html payloads, write_warc streams them task-side into
+    per-record-gzip segments returning write-time CDX locators, and
+    fetch_warc_records re-reads EVERY row by byte range. The oracle
+    re-derives payload md5 + Content-Length from the table — equal
+    hashes prove the whole write→locate→slice→decompress→parse loop."""
+    from featurewiz_spark.sources.cdx import fetch_warc_records
+    from featurewiz_spark.sources.warc import write_warc
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://docs.example/"), F.col("doc_id")).alias("url"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id") % 86400)
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><title>doc "),
+                F.col("doc_id"),
+                F.lit("</title><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    ).repartition(4)
+    d = _fixture_dir("fw_q108_export_")
+    locs = write_warc(pages, d)
+    fetched = fetch_warc_records(locs, base_dir=d)
+    return fetched.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("warc_ts"),
+        F.col("content_length"),
+        F.md5(F.col("html")).alias("payload_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -2177,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_robots_filter": _q105_robots_filter,
         "q106_cdx_roundtrip": _q106_cdx_roundtrip,
         "q107_cdx_fetch": _q107_cdx_fetch,
+        "q108_warc_write_roundtrip": _q108_warc_write_roundtrip,
     }
 
 
@@ -3660,6 +3700,21 @@ def _generated_oracles() -> dict[str, str]:
                         || '</title><body><p>' || text
                         || '</p></body></html>') AS payload_md5
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        # q108: full-corpus re-derivation; the Spark side goes
+        # write_warc -> locators -> byte-range fetch on real files.
+        "q108_warc_write_roundtrip": """
+            SELECT doc_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + INTERVAL (doc_id % 86400) SECOND AS warc_ts,
+                   CAST(strlen('<html><title>doc ' || doc_id
+                        || '</title><body><p>' || text
+                        || '</p></body></html>') AS BIGINT)
+                     AS content_length,
+                   md5('<html><title>doc ' || doc_id
+                        || '</title><body><p>' || text
+                        || '</p></body></html>') AS payload_md5
+            FROM documents
         """,
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,

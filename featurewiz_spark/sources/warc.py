@@ -307,6 +307,110 @@ def read_warc(
     return path_df.repartition(n, "path").mapInPandas(_parse, WARC_SCHEMA)
 
 
+CDX_LOCATOR_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("filename", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+    ]
+)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    content_type: str = "text/html; charset=utf-8",
+    prefix: str = "part",
+) -> DataFrame:
+    """Export a corpus as archive-standard WARC: one gzip member per
+    ``response`` record (the Common Crawl layout — every record
+    independently sliceable), one segment file per partition, written
+    task-side. Returns the CDX locator DataFrame
+    ``(url, warc_ts, digest, filename, offset, length)`` — offsets
+    recorded AT WRITE TIME, so the result feeds
+    :func:`featurewiz_spark.sources.cdx.fetch_warc_records` (and a
+    cdx sidecar file) directly. Completes the archive round trip:
+    read_warc → curate → write_warc → selective re-fetch.
+
+    Scale: no shuffle — each task streams its partition through gzip
+    into ONE segment (repartition upstream to pick the segment count /
+    size); memory is O(record). ``out_dir`` must be a directory
+    task-writable via local/NFS path or pyarrow.fs URI; distinct
+    partition ids make filenames collision-free.
+    """
+    import gzip
+    import hashlib
+
+    sep = "" if out_dir.endswith("/") else "/"
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"{prefix}-{pid:05d}.warc.gz"
+        full = out_dir + sep + name
+        if "://" in full:
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(full)
+            handle = fs.open_output_stream(rel, compression=None)
+        else:
+            handle = open(full, "wb")
+        off = 0
+        locs: list[tuple] = []
+        try:
+            for pdf in batches:
+                for url, ts, payload in zip(
+                    pdf[url_col], pdf[ts_col], pdf[payload_col]
+                ):
+                    if payload is None:
+                        continue
+                    body = bytes(payload)
+                    iso = (
+                        pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    http = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: "
+                        + content_type.encode()
+                        + b"\r\nContent-Length: "
+                        + str(len(body)).encode()
+                        + b"\r\n\r\n"
+                        + body
+                    )
+                    digest = hashlib.sha1(body).hexdigest()
+                    rec = (
+                        f"WARC/1.0\r\nWARC-Type: response\r\n"
+                        f"WARC-Date: {iso}\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Payload-Digest: sha1:{digest}\r\n"
+                        f"Content-Length: {len(http)}\r\n\r\n"
+                    ).encode() + http + b"\r\n\r\n"
+                    member = gzip.compress(rec)
+                    handle.write(member)
+                    locs.append(
+                        (url, None if ts is None else pd.Timestamp(ts),
+                         f"sha1:{digest}", name, off, len(member))
+                    )
+                    off += len(member)
+        finally:
+            handle.close()
+        yield pd.DataFrame(
+            locs, columns=CDX_LOCATOR_SCHEMA.fieldNames()
+        )
+
+    return df.select(url_col, ts_col, payload_col).mapInPandas(
+        _write, CDX_LOCATOR_SCHEMA
+    )
+
+
 def warc_to_pages(
     spark: SparkSession,
     paths: str | Iterable[str],
