@@ -74,7 +74,7 @@ def read_cdx(spark: SparkSession, paths: str | list) -> DataFrame:
 
 
 def fetch_warc_records(
-    spark_or_df,
+    locators: DataFrame,
     base_dir: str | None = None,
     filename_col: str = "filename",
     offset_col: str = "offset",
@@ -93,10 +93,12 @@ def fetch_warc_records(
     slice is independently decompressable. Output: the batch reader's
     WARC_SCHEMA, one row per fetched record.
 
-    Scale: locators hash-partition by filename; each task sorts its
-    files' offsets ascending and seek-reads ranges from one open
-    handle — monotone forward seeks, the object-store-friendly
-    pattern. Task memory is O(largest record). URI-scheme paths go
+    Scale: locators hash-partition by filename; within each Arrow
+    batch offsets are read in ascending order from one open handle per
+    file — monotone forward seeks, the object-store-friendly pattern
+    (spark.sql.execution.arrow.maxRecordsPerBatch bounds how often a
+    file reopens across batch boundaries). Task memory is O(largest
+    record). URI-scheme paths go
     through pyarrow.fs random-access files.
     """
     import io as _io
@@ -109,7 +111,7 @@ def fetch_warc_records(
         iter_warc_records,
     )
 
-    df = spark_or_df
+    df = locators
     wanted = {t.lower() for t in (record_types or _DEFAULT_TYPES)}
 
     def _full_path(name: str) -> str:

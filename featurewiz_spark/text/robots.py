@@ -78,12 +78,7 @@ def parse_robots(
     )
     # group selection: specific UA groups if any exist for the host,
     # else the '*' groups
-    hosts_specific = (
-        uas.where(F.col("ua") == ua)
-        .select("host", "gid")
-        .withColumn("specific", F.lit(1))
-        .distinct()
-    )
+    hosts_specific = uas.where(F.col("ua") == ua).select("host", "gid").distinct()
     star = uas.where(F.col("ua") == "*").select("host", "gid").distinct()
     has_specific = hosts_specific.select("host").distinct()
     chosen = hosts_specific.select("host", "gid").unionByName(
@@ -112,6 +107,14 @@ def apply_robots(
     """Adds ``out_col``: longest-prefix-match verdict of the rules
     table against each page URL's path (query string included, per
     REP). No matching rule, or no rules for the host → allowed."""
+    clash = {"__host", "__path", "host", "allow", "prefix", "prefix_len"} & set(
+        pages.columns
+    )
+    if clash:
+        raise ValueError(
+            f"apply_robots: pages already has column(s) {sorted(clash)}; "
+            "rename them before applying"
+        )
     pages = pages.withColumn(
         "__host", F.regexp_extract(F.col(url_col), URL_HOST_PAT, 1)
     ).withColumn(
