@@ -2107,6 +2107,51 @@ def _q108_warc_write_roundtrip(spark, sf):
     )
 
 
+_Q109_CDX_SQL = """
+    SELECT 'sha1:' || (doc_id % 97) AS digest,
+           CASE WHEN doc_id % 11 = 0 THEN 301 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 13 = 0 THEN 'application/pdf'
+                ELSE 'text/html; charset=utf-8' END AS mime,
+           'seg' || (doc_id % 7) || '.warc.gz' AS filename,
+           doc_id * 517 AS offset,
+           100 + doc_id % 400 AS length
+    FROM documents
+"""
+
+_Q109_SEEN_SQL = """
+    SELECT DISTINCT 'sha1:' || (doc_id % 97) AS digest
+    FROM documents WHERE doc_id % 97 < 20
+"""
+
+
+def _q109_incremental_plan(spark, sf):
+    """Incremental fetch planning (sources/cdx.py): a synthesized CDX
+    with duplicate digests, redirects, and non-html mimes is reduced to
+    one earliest locator per NEW digest (anti-join vs the seen set, ONE
+    min_by aggregate over the shared scalar order key) — the oracle
+    re-derives the identical plan from the same CTEs."""
+    from featurewiz_spark.sources.cdx import plan_incremental_fetch
+
+    docs = _t(spark, sf, "documents")
+    docs.createOrReplaceTempView("documents")
+    cdx = spark.sql(_Q109_CDX_SQL)
+    seen = spark.sql(_Q109_SEEN_SQL)
+    return plan_incremental_fetch(cdx, seen)
+
+
+def _q110_domain_cap(spark, sf):
+    """Per-key quota cap (operators/sampling.py::cap_per_key): at most
+    40 documents per lang, largest n_chars first, doc_id tie-break —
+    the Gopher-style per-domain anti-spam quota as one row_number
+    window, mirrored exactly."""
+    from featurewiz_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf, "documents")
+    return cap_per_key(
+        docs, ["lang"], 40, "n_chars", tie_col="doc_id", ascending=False
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_groupby_agg": _q01_groupby_agg,
@@ -2217,6 +2262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_cdx_roundtrip": _q106_cdx_roundtrip,
         "q107_cdx_fetch": _q107_cdx_fetch,
         "q108_warc_write_roundtrip": _q108_warc_write_roundtrip,
+        "q109_incremental_plan": _q109_incremental_plan,
+        "q110_domain_cap": _q110_domain_cap,
     }
 
 
@@ -3716,6 +3763,29 @@ def _generated_oracles() -> dict[str, str]:
                         || '</p></body></html>') AS payload_md5
             FROM documents
         """,
+        # q109/q110: mirrors generated from the same constants
+        # (sources/cdx.py::incremental_fetch_sql, operators/
+        # sampling.py::cap_per_key_sql) over shared synthesis CTEs.
+        "q109_incremental_plan": "WITH cdx AS ("
+        + _Q109_CDX_SQL
+        + "), seen AS ("
+        + _Q109_SEEN_SQL
+        + ") "
+        + __import__(
+            "featurewiz_spark.sources.cdx",
+            fromlist=["incremental_fetch_sql"],
+        ).incremental_fetch_sql(
+            "cdx",
+            "seen",
+            ["http_status", "mime", "filename", "offset", "length"],
+        ),
+        "q110_domain_cap": __import__(
+            "featurewiz_spark.operators.sampling",
+            fromlist=["cap_per_key_sql"],
+        ).cap_per_key_sql(
+            "documents", ["lang"], 40, "n_chars",
+            tie_col="doc_id", ascending=False,
+        ),
         # q102: direct projection — the Spark side must reproduce it
         # through the OOXML encode + stdlib zip/XML decode path,
         # including the integral->int64 downcast and NULL-as-sparse-cell.

@@ -256,3 +256,67 @@ SELECT {select_cols}, r.mix_rate,
             ELSE {hash_frac} < r.mix_rate END AS mix_keep
 FROM {src} d LEFT JOIN __tm_rates r ON d.{strata_col} = r.s
 """
+
+
+def cap_per_key(
+    df: DataFrame,
+    keys: list[str],
+    n: int,
+    order_col: str,
+    tie_col: str | None = None,
+    ascending: bool = True,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-key quota cap — the Gopher/C4-style anti-spam step that
+    bounds any one domain/source's contribution to the corpus: keep at
+    most ``n`` rows per key, chosen by ``order_col`` (ties broken by
+    ``tie_col`` for determinism; pass one whenever order_col can
+    repeat). row_number over a per-key window — a key's rows sort
+    within one partition, so the window is bounded by the hottest key,
+    which is exactly the quantity this operator exists to bound
+    downstream; for pathological pre-cap skew, salt-prefilter with an
+    approximate per-key count first.
+
+    Reference scope: beyond the reference (its nearest analog is the
+    nth-largest cap, featurewiz.py:2023-2102, which caps VALUES not
+    row quotas).
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= n
+    )
+    return out.withColumnRenamed("__rn", "cap_rank") if keep_rank else out.drop(
+        "__rn"
+    )
+
+
+def cap_per_key_sql(
+    src: str,
+    keys: list[str],
+    n: int,
+    order_col: str,
+    tie_col: str | None = None,
+    ascending: bool = True,
+    select_cols: str = "* EXCLUDE (__rn)",
+) -> str:
+    """DuckDB mirror: the same row_number window and tie-break; the
+    default select drops the rank column like the Spark side."""
+    direction = "ASC" if ascending else "DESC"
+    order = f"{order_col} {direction}"
+    if tie_col is not None:
+        order += f", {tie_col} ASC"
+    keylist = ", ".join(keys)
+    return f"""
+        SELECT {select_cols} FROM (
+            SELECT *, row_number() OVER
+                (PARTITION BY {keylist} ORDER BY {order}) AS __rn
+            FROM {src}
+        ) WHERE __rn <= {n}
+    """

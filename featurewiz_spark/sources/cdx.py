@@ -180,6 +180,82 @@ def fetch_warc_records(
     return df.repartition(n, filename_col).mapInPandas(_fetch, WARC_SCHEMA)
 
 
+def plan_incremental_fetch(
+    cdx: DataFrame,
+    seen_digests: DataFrame | None = None,
+    digest_col: str = "digest",
+    status: int | None = 200,
+    mime_prefix: str | None = "text/html",
+) -> DataFrame:
+    """Incremental crawl processing: reduce a snapshot's CDX to the
+    locators actually worth fetching — desired status/mime, content
+    digest NOT already in the lakehouse (anti-join against
+    ``seen_digests``, a 1-column frame), and ONE locator per new
+    digest (the earliest capture by (filename, offset), via min_by —
+    no window, map-side partials collapse hot digests). The result
+    feeds :func:`fetch_warc_records` directly.
+    """
+    c = cdx
+    if status is not None:
+        c = c.where(F.col("http_status") == status)
+    if mime_prefix is not None:
+        c = c.where(
+            F.lower(F.coalesce(F.col("mime"), F.lit(""))).startswith(
+                mime_prefix
+            )
+        )
+    c = c.where(F.col(digest_col).isNotNull())
+    if seen_digests is not None:
+        c = c.join(seen_digests, digest_col, "left_anti")
+    # one scalar order key (filename, zero-padded offset): identical
+    # lexicographic semantics in every engine — DuckDB's arg_min does
+    # not accept struct keys. \x01 separator sorts below any filename
+    # character in use.
+    order = F.concat(
+        F.col("filename"),
+        F.lit("\x01"),
+        F.lpad(F.col("offset").cast("string"), 19, "0"),
+    )
+    keep = [f for f in c.columns if f != digest_col]
+    return c.groupBy(digest_col).agg(
+        *[F.min_by(F.col(f), order).alias(f) for f in keep]
+    )
+
+
+def incremental_fetch_sql(
+    cdx_src: str,
+    seen_src: str | None,
+    columns: list[str],
+    digest_col: str = "digest",
+    status: int | None = 200,
+    mime_prefix: str | None = "text/html",
+) -> str:
+    """DuckDB mirror: same filters, NOT IN anti-join, arg_min per
+    surviving digest with the same (filename, offset) struct order.
+    ``columns`` = the non-digest columns to carry (order-insensitive
+    compare sorts them anyway)."""
+    conds = [f"{digest_col} IS NOT NULL"]
+    if status is not None:
+        conds.append(f"http_status = {status}")
+    if mime_prefix is not None:
+        conds.append(
+            f"lower(COALESCE(mime, '')) LIKE '{mime_prefix}%'"
+        )
+    if seen_src is not None:
+        conds.append(f"{digest_col} NOT IN (SELECT * FROM {seen_src})")
+    okey = "filename || chr(1) || lpad(CAST(\"offset\" AS VARCHAR), 19, '0')"
+    cols = ",\n               ".join(
+        f'arg_min("{c}", {okey}) AS "{c}"' for c in columns
+    )
+    return f"""
+        SELECT {digest_col},
+               {cols}
+        FROM {cdx_src}
+        WHERE {" AND ".join(conds)}
+        GROUP BY {digest_col}
+    """
+
+
 def cdx_sql(lines_src: str, line_col: str = "line") -> str:
     """DuckDB mirror over a (line) relation, generated from the SAME
     patterns/field list. DuckDB regexp_extract + json_extract_string;
