@@ -5,6 +5,7 @@ from featurewiz_spark.sources.cdx import (
     parse_cdx_lines,
     plan_incremental_fetch,
     read_cdx,
+    stream_cdx,
 )
 from featurewiz_spark.sources.warc import read_warc, warc_to_pages, write_warc
 
@@ -20,4 +21,5 @@ __all__ = [
     "fetch_warc_records",
     "write_warc",
     "plan_incremental_fetch",
+    "stream_cdx",
 ]

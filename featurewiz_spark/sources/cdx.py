@@ -73,6 +73,19 @@ def read_cdx(spark: SparkSession, paths: str | list) -> DataFrame:
     return parse_cdx_lines(text, "value")
 
 
+def stream_cdx(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming twin of :func:`read_cdx`: tail a landing directory of
+    CDX files with the text file source (exactly-once per checkpoint)
+    through the SAME parse projection — e.g. to keep an incremental
+    fetch queue current as index shards land."""
+    text = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.cdx*")
+        .load(landing_dir)
+    )
+    return parse_cdx_lines(text, "value")
+
+
 def fetch_warc_records(
     locators: DataFrame,
     base_dir: str | None = None,

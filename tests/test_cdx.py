@@ -74,6 +74,26 @@ def test_fetch_warc_records_by_offset(spark, tmp_path):
         assert html == payloads[url]
 
 
+def test_stream_cdx_matches_batch(spark, tmp_path):
+    from featurewiz_spark.sources.cdx import stream_cdx
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.cdx").write_text("\n".join(LINES) + "\n")
+    q = (
+        stream_cdx(spark, str(landing))
+        .writeStream.format("memory")
+        .queryName("cdx_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from cdx_stream_t").collect()))
+    want = sorted(map(tuple, read_cdx(spark, str(landing / "a.cdx")).collect()))
+    assert got == want and len(got) == 3
+
+
 def test_cdx_sql_mirror(spark):
     df = spark.createDataFrame([(ln,) for ln in LINES], "value string")
     got = sorted(map(tuple, parse_cdx_lines(df).collect()))
