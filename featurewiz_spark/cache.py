@@ -31,9 +31,25 @@ from contextlib import contextmanager
 _SCOPED: list = []
 
 
-def scoped_persist(df, storage_level=None):
-    """persist() a DataFrame and register it for release_caches()."""
+def scoped_persist(df, storage_level=None, eager=False):
+    """persist() a DataFrame and register it for release_caches().
+
+    eager=True additionally populates the cache NOW with one count()
+    job. Rationale (measured on q31 at sf1.0, local[32]): persist() is
+    lazy, and under AQE every consumer of the cached frame becomes an
+    independent shuffle/broadcast stage future that the scheduler
+    launches CONCURRENTLY — each future finds the cache unpopulated and
+    recomputes the whole upstream DAG (stage metrics showed the LSH
+    signature pipeline executed 3x and the candidate-pair DAG 2-3x
+    inside one action; ~60% of q31's wall time). One small count()
+    (the cache build itself, which had to happen anyway) serializes the
+    population, after which every consumer reads InMemoryTableScan.
+    Use for intermediates with 2+ sibling consumers in the SAME action;
+    leave lazy when consumers run in sequential actions (iterative
+    loops) where the first action populates naturally."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()
+    if eager:
+        df.count()
     _SCOPED.append(df)
     return df
 

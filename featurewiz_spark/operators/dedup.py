@@ -144,7 +144,11 @@ def minhash_lsh_pairs(
     # with cache.py — callers release via release_caches()/cache_scope()
     # after materializing (lazy results make an in-function unpersist
     # impossible; see the module docstring of featurewiz_spark.cache).
-    sigs = scoped_persist(sigs)
+    # eager: the bucket-cap aggregate and both self-join sides are
+    # sibling AQE stage futures — launched concurrently, each raced to
+    # compute the unpopulated cache (signature pipeline ran 3x per
+    # action in stage metrics; see scoped_persist docstring).
+    sigs = scoped_persist(sigs, eager=True)
     banded = sigs.select(
         id_col,
         "minhash",
@@ -181,17 +185,23 @@ def minhash_lsh_pairs(
         .select("band", "band_hash")
     )
     banded = banded.join(keep, ["band", "band_hash"], "left_semi")
+    # One exchange for the self-join, not two: hash-partition the kept
+    # band rows ONCE and persist that layout — both join sides then
+    # scan the same InMemoryRelation whose outputPartitioning already
+    # satisfies the join's distribution, so neither side re-exchanges
+    # (the old plan shuffled `banded` separately for the left and the
+    # right side: 3 exchanges of band rows per run counting the
+    # keep-aggregate, now 2). Skew safety is unchanged: over-cap
+    # buckets are dropped by the semi-join BEFORE this exchange, so a
+    # boilerplate mega-bucket never ships.
+    banded = scoped_persist(
+        banded.repartition("band", "band_hash"), eager=True
+    )
     left = banded.select(
         F.col(id_col).alias("a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
     )
     right = banded.select(
         F.col(id_col).alias("b"), F.col("minhash").alias("mh_b"), "band", "band_hash"
-    )
-    cand = (
-        left.join(right, on=["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "mh_a", "mh_b")
-        .dropDuplicates(["a", "b"])
     )
     est = (
         F.size(
@@ -202,11 +212,21 @@ def minhash_lsh_pairs(
         )
         / F.size(F.col("mh_a"))
     )
-    return (
-        cand.withColumn("jaccard_est", est)
-        .filter(F.col("jaccard_est") >= jaccard_threshold)
-        .select("a", "b", "jaccard_est")
+    # jaccard_est is computed BEFORE the (a, b) dedup and the signature
+    # arrays are dropped at the join output: carrying mh_a/mh_b through
+    # dropDuplicates forces first(array) aggregate buffers, which cannot
+    # use HashAggregate — the plan fell back to Sort + SortAggregate on
+    # the pair exchange. A pair found in several bands computes est once
+    # per band (≤ `bands` extra zip_with over k longs, trivially cheap);
+    # the value is identical in every copy, so first() under
+    # HashAggregate returns the same number the old plan did.
+    cand = (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", est.alias("jaccard_est"))
+        .dropDuplicates(["a", "b"])
     )
+    return cand.filter(F.col("jaccard_est") >= jaccard_threshold)
 
 
 def simhash(
@@ -285,7 +305,10 @@ def jaccard_pairs(
         # pipeline (e.g. the whole LSH explode/shuffle/self-join DAG)
         # re-executes per consumer — measured 3.8x on the q31 bench.
         # Registered for release_caches() (see featurewiz_spark.cache).
-        pairs = scoped_persist(pairs)
+        # eager: the three consumers are concurrent AQE stage futures;
+        # a lazy persist let each recompute the candidate DAG before
+        # the cache filled (see scoped_persist docstring).
+        pairs = scoped_persist(pairs, eager=True)
         wanted = (
             pairs.select(F.col("a").alias(id_col))
             .unionByName(pairs.select(F.col("b").alias(id_col)))
@@ -293,6 +316,13 @@ def jaccard_pairs(
         )
         src = df.join(wanted, on=id_col, how="leftsemi")
     toks = src.select(F.col(id_col), sets.alias("__t"))
+    if restrict_to_pairs:
+        # both verify joins consume `toks`; as concurrent broadcast-
+        # build futures they each re-ran the corpus scan + semi-join +
+        # shingle projection (two identical ~0.7s jobs in the q31 stage
+        # metrics). Eager persist computes it once; the builds then
+        # read InMemoryTableScan. Size-bounded: candidate ids only.
+        toks = scoped_persist(toks, eager=True)
     j = (
         pairs.join(toks.withColumnRenamed("__t", "__ta"), pairs["a"] == toks[id_col])
         .drop(id_col)
