@@ -115,8 +115,33 @@ def documents_curation_pipeline(
 def events_feature_pipeline(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Flagship over the driver's events table: windowed features per
     (user_id, ts) + as-of join to the user's latest strictly-earlier
-    purchase (point-in-time snapshot semantics, zero leakage)."""
-    df = events
+    purchase (point-in-time snapshot semantics, zero leakage).
+
+    Operator order is a performance decision (results are identical —
+    the as-of match and the window features are independent of each
+    other): the as-of union pass runs FIRST, over the narrow base
+    events, and the window-feature chain rides its (user_id) hash
+    partitioning with no further exchange. The previous order (windows
+    first, as-of last) re-shuffled every already-computed feature
+    column through the union's exchange — 43 columns instead of 8, and
+    2 exchanges of the events table instead of 1. A final select pins
+    the original column order so downstream consumers see an unchanged
+    schema."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("snap_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    df = asof_join(
+        events,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="snap_ts",
+        tolerance="7 days",
+        strict=True,
+        suffix="_asof",
+    )
     df = lag_lead(df, "user_id", "ts", "value", lags=[1], leads=[1],
                   tie_break=["event_id"])
     df = rolling_agg(df, "user_id", "ts", "value", window_rows=7, aggs=["avg", "sum"],
@@ -126,23 +151,10 @@ def events_feature_pipeline(events: DataFrame, gap: str = "30 minutes") -> DataF
     df = sessionize(df, "user_id", "ts", gap=gap)
     df = duration_between_rows(df, "user_id", "ts")
     df = add_calendar_features(df, "ts", prefix="cal", crosses=False)
-
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("snap_ts"),
-        F.col("value").alias("purchase_value"),
+    asof_cols = ["purchase_value_asof", "snap_ts_asof"]
+    return df.select(
+        *[c for c in df.columns if c not in asof_cols], *asof_cols
     )
-    df = asof_join(
-        df,
-        purchases,
-        on="user_id",
-        left_ts="ts",
-        right_ts="snap_ts",
-        tolerance="7 days",
-        strict=True,
-        suffix="_asof",
-    )
-    return df
 
 
 def featurewiz(
