@@ -78,13 +78,32 @@ def pagerank(
     deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg")).persist()
     deg.count()
 
-    ranks = nodes.withColumn(out_col, F.lit(base).cast("long")).persist()
+    # WHICH nodes are dangling (no out-edges) is static — only their
+    # rank sum changes per iteration. Flag them once; the per-iteration
+    # dangling mass is then a filter + sum over the ranks frame instead
+    # of a node-scale anti-join (the old loop repeated that join every
+    # round: one extra shuffle per iteration for a set that never
+    # changes). Ranks are bit-identical by construction.
+    flagged = (
+        nodes.join(
+            deg.select(F.col("__src").alias("node"),
+                       F.lit(True).alias("__has_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__has_out").isNull().alias("__dangling"))
+        .persist()
+    )
+    flagged.count()
+    nodes.unpersist()
+
+    ranks = flagged.withColumn(out_col, F.lit(base).cast("long")).persist()
     ranks.count()
 
     for it in range(iterations):
         # dangling mass: nodes with no out-edges (tiny scalar, exact)
         dang_row = (
-            ranks.join(deg, ranks["node"] == deg["__src"], "left_anti")
+            ranks.where(F.col("__dangling"))
             .agg(F.sum(out_col).alias("s"))
             .first()
         )
@@ -106,9 +125,10 @@ def pagerank(
         teleport = (3 * base) // 20  # exact Python int
         dang_share = dang // n_nodes
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            flagged.join(contrib, "node", "left")
             .select(
                 "node",
+                "__dangling",
                 F.expr(
                     f"CAST({teleport} AS BIGINT) + "
                     f"(17 * (coalesce(__inc, CAST(0 AS BIGINT)) "
@@ -125,9 +145,9 @@ def pagerank(
         ranks = new_ranks
 
     deg.unpersist()
-    nodes.unpersist()
+    flagged.unpersist()
     edges.unpersist()
-    return ranks
+    return ranks.select("node", out_col)
 
 
 def pagerank_sql(

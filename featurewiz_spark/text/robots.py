@@ -77,11 +77,15 @@ def parse_robots(
         F.lower(F.trim(F.regexp_extract("line", UA_VAL_PAT, 1))).alias("ua"),
     )
     # group selection: specific UA groups if any exist for the host,
-    # else the '*' groups
-    hosts_specific = uas.where(F.col("ua") == ua).select("host", "gid").distinct()
-    star = uas.where(F.col("ua") == "*").select("host", "gid").distinct()
-    has_specific = hosts_specific.select("host").distinct()
-    chosen = hosts_specific.select("host", "gid").unionByName(
+    # else the '*' groups. Only the OUTER distinct is load-bearing:
+    # pre-distinct-ing each branch and the anti-join's build side
+    # repeated the dedup three times (three extra exchanges for sets
+    # the final distinct collapses anyway; anti-join semantics are
+    # existence-based and need no distinct input).
+    hosts_specific = uas.where(F.col("ua") == ua).select("host", "gid")
+    star = uas.where(F.col("ua") == "*").select("host", "gid")
+    has_specific = hosts_specific.select("host")
+    chosen = hosts_specific.unionByName(
         star.join(has_specific, "host", "left_anti")
     ).distinct()
 
@@ -124,21 +128,41 @@ def apply_robots(
             F.lit("/"),
         ).otherwise(F.regexp_extract(F.col(url_col), URL_PATH_PAT, 1)),
     )
-    # prefix match lives in the JOIN condition (not a post-filter): a
-    # page whose host has rules but none matching must keep its
-    # NULL-extended row, or it would vanish from the verdict
-    cond = (pages["__host"] == rules["host"]) & (
-        F.expr("substring(__path, 1, length(prefix))") == rules["prefix"]
+    # Shape: aggregate the RULES side per host (rules-scale, tiny next
+    # to pages), join each page to its host's rule array once, and
+    # evaluate longest-prefix-match as an in-plan array expression.
+    # The old shape joined pages×rules then re-aggregated BY URL and
+    # joined the verdict back — three pages-scale shuffles (q105
+    # audited at 10 exchanges, the max of all 110 queries) and an
+    # implicit assumption that url is unique in `pages`. Now the pages
+    # side crosses at most ONE exchange (zero when the per-host rule
+    # table broadcasts, the common case — robots.txt size is bounded),
+    # the verdict is a projection per page row, and duplicate urls keep
+    # their multiplicity. Tie-break key unchanged: longest prefix wins,
+    # allow wins ties; no matching rule or unknown host → allowed.
+    host_rules = rules.groupBy(F.col("host").alias("__rhost")).agg(
+        F.collect_list(F.struct("prefix", "prefix_len", "allow")).alias("__rules")
     )
-    matched = pages.join(rules, cond, "left")
-    # single integer ordering key: longest prefix wins, allow wins ties
-    key = F.col("prefix_len") * 2 + F.col("allow").cast("int")
-    verdict = matched.groupBy(url_col).agg(
-        F.coalesce(
-            F.max_by(F.col("allow"), key), F.lit(True)
-        ).alias(out_col)
+    joined = pages.join(
+        host_rules, pages["__host"] == host_rules["__rhost"], "left"
     )
-    return pages.drop("__host", "__path").join(verdict, url_col, "left")
+    matched = F.filter(
+        F.col("__rules"),
+        lambda r: F.col("__path").substr(F.lit(1), F.length(r["prefix"]))
+        == r["prefix"],
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                (r["prefix_len"] * 2 + r["allow"].cast("int")).alias("k"),
+                r["allow"].alias("a"),
+            ),
+        )
+    )
+    return joined.withColumn(out_col, F.coalesce(best["a"], F.lit(True))).drop(
+        "__host", "__path", "__rhost", "__rules"
+    )
 
 
 def robots_sql(

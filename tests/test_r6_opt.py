@@ -119,6 +119,48 @@ def test_lsh_pairs_unique_and_est_exact(spark):
     assert seen, "expected at least one candidate pair in the testdata"
 
 
+def test_apply_robots_preserves_duplicate_urls(spark):
+    """The r6 single-pass verdict computes per page ROW (in-plan array
+    expression), so duplicate urls keep their multiplicity — the old
+    groupBy(url)+join-back shape silently assumed url uniqueness."""
+    from featurewiz_spark.text.robots import apply_robots
+
+    rules = spark.createDataFrame(
+        [("a.example", False, "/private", 8), ("a.example", True, "/private/ok", 11)],
+        "host string, allow boolean, prefix string, prefix_len int",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/private/x", 1),
+            ("https://a.example/private/x", 2),   # duplicate url, distinct row
+            ("https://a.example/private/ok/y", 3),
+            ("https://a.example/pub", 4),
+            ("https://other.example/anything", 5),
+        ],
+        "url string, rowid int",
+    )
+    out = {(r["rowid"], r["robots_allowed"]) for r in apply_robots(pages, rules).collect()}
+    assert out == {(1, False), (2, False), (3, True), (4, True), (5, True)}
+    assert len(out) == 5  # both duplicate-url rows survived
+
+
+def test_pagerank_single_contrib_shuffle_per_iteration(spark):
+    """Bit-identity of the hoisted dangling set is covered by
+    test_pagerank.py; this pins the hoist itself — the dangling mass
+    job must not re-run an anti-join per iteration (the flag is
+    computed once before the loop)."""
+    from featurewiz_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )  # node 5 absent; 4 has out-edge; add a dangling node via dst-only
+    edges = edges.union(spark.createDataFrame([(1, 5)], "src long, dst long"))
+    r = {row["node"]: row["rank_fp"] for row in pagerank(edges, iterations=3).collect()}
+    assert set(r) == {1, 2, 3, 4, 5}
+    assert r[5] > 0  # dangling node still receives teleport + shares
+    assert list(pagerank(edges, iterations=3).columns) == ["node", "rank_fp"]
+
+
 def test_scoped_persist_eager_populates_and_releases(spark):
     from featurewiz_spark.cache import release_caches, scoped_persist
 
