@@ -66,7 +66,12 @@ def tfidf_keywords(
             F.explode(norm_tokens(text_col)[1]).alias("keyword"),
         )
         .groupBy(id_col, "keyword")
-        .agg(F.count(F.lit(1)).alias("__tf"))
+        .agg(F.count(F.lit(1)).alias("__tf")),
+        # the df-derivation (broadcast build) and the scoring join are
+        # concurrent stage futures of one action — a lazy persist lets
+        # both recompute the tokenize+explode+aggregate stage before
+        # the cache fills (see scoped_persist docstring)
+        eager=True,
     )
     dfreq = tf.groupBy("keyword").agg(F.count(F.lit(1)).alias("__df"))
     if min_df > 1:
