@@ -264,6 +264,16 @@ def _read_xlsx_stdlib(path: str, header: bool = True):
             for i, v in enumerate(matrix[0])
         ]
         matrix = matrix[1:]
+        # de-duplicate like pandas.read_excel (suffix .1, .2, ...):
+        # with two identical header cells, pdf[col] below would return
+        # a DataFrame and the dtype-coercion loop would crash or
+        # misclassify the column rewrite
+        seen: dict[str, int] = {}
+        for i, c in enumerate(colnames):
+            n = seen.get(c, 0)
+            seen[c] = n + 1
+            if n:
+                colnames[i] = f"{c}.{n}"
     else:
         colnames = [f"_c{i}" for i in range(ncols)]
 

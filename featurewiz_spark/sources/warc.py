@@ -372,10 +372,16 @@ def write_warc(
                     if payload is None:
                         continue
                     body = bytes(payload)
+                    # pd.isna, not `is not None`: a NULL timestamp
+                    # arrives as pandas NaT in mapInPandas, which
+                    # passes an `is not None` check and then
+                    # pd.Timestamp(NaT).strftime raises ('NaTType does
+                    # not support strftime'), killing the export task —
+                    # the epoch fallback below was dead code
                     iso = (
-                        pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
-                        if ts is not None
-                        else "1970-01-01T00:00:00Z"
+                        "1970-01-01T00:00:00Z"
+                        if ts is None or pd.isna(ts)
+                        else pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
                     )
                     http = (
                         b"HTTP/1.1 200 OK\r\nContent-Type: "
@@ -396,7 +402,9 @@ def write_warc(
                     member = gzip.compress(rec)
                     handle.write(member)
                     locs.append(
-                        (url, None if ts is None else pd.Timestamp(ts),
+                        (url,
+                         None if ts is None or pd.isna(ts)
+                         else pd.Timestamp(ts),
                          f"sha1:{digest}", name, off, len(member))
                     )
                     off += len(member)

@@ -62,6 +62,9 @@ left-to-right semantics, and both engines' ``regexp_replace`` treat
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +85,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_encode",
     "bpe_encode_tokens_col",
+    "bpe_encode_kernel_col",
     "bpe_encode_sql",
 ]
 
@@ -192,34 +196,85 @@ def train_from_counts(
     """The driver-side merge-learning loop on a plain ``{word: cnt}``
     dict — :func:`bpe_train` after its collect, exposed so tests (and
     users with an already-local vocabulary) can train without a
-    DataFrame."""
+    DataFrame.
+
+    Incremental (r6): the original loop recomputed EVERY pair count
+    over the WHOLE vocabulary each round — O(merges × vocab × word_len)
+    (an 8k-merge vocabulary on a 200k-word table is ~10^10 Python
+    steps). This version keeps authoritative pair counts, updates only
+    the words that actually contain the merged pair, and selects the
+    best pair from a lazily-invalidated heap — O(total updates ×
+    log vocab). Output identical merge-for-merge (same counts, same
+    (-count, pair) tie-break; differential-tested against the
+    round-rescan reference in tests/test_r6_opt.py).
+
+    A pair with LEFT element ending in the end-of-word marker is never
+    learned (only spellable by literal '</w>' text inside a word; a
+    merge with this left element would merge across word boundaries in
+    the encode fold, whose guard rejects it)."""
+    import heapq
+
+    # collapse identical symbol sequences exactly like the reference's
+    # vocab dict (two raw words normalizing to the same sequence)
     vocab: dict[tuple, int] = {}
     for word, cnt in counts.items():
         syms = tuple(word) + (EOW,)
         vocab[syms] = vocab.get(syms, 0) + int(cnt)
+    entries: list[list] = [[list(s), c] for s, c in vocab.items()]
 
+    def word_pairs(syms: list) -> dict[tuple, int]:
+        out: dict[tuple, int] = {}
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            if p[0].endswith(EOW):
+                continue
+            out[p] = out.get(p, 0) + 1
+        return out
+
+    pair_counts: dict[tuple, int] = {}
+    pair_words: dict[tuple, set[int]] = {}
+    for wid, (syms, cnt) in enumerate(entries):
+        for p, occ in word_pairs(syms).items():
+            pair_counts[p] = pair_counts.get(p, 0) + occ * cnt
+            pair_words.setdefault(p, set()).add(wid)
+
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(int(num_merges)):
-        pairs: dict[tuple, int] = {}
-        for syms, cnt in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                if p[0].endswith(EOW):
-                    # only spellable by literal '</w>' text inside a
-                    # word; a merge with this left element would merge
-                    # across word boundaries in the encode fold (the
-                    # guard there rejects it), so never learn one
-                    continue
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
+        best = None
+        while heap:
+            negc, p = heap[0]
+            cur = pair_counts.get(p, 0)
+            if cur <= 0 or -negc != cur:
+                heapq.heappop(heap)  # stale or exhausted entry
+                continue
+            best = p
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best is None:
+            break
         merges.append(best)
-        nxt: dict[tuple, int] = {}
-        for syms, cnt in vocab.items():
-            m = _merge_syms(syms, best)
-            nxt[m] = nxt.get(m, 0) + cnt
-        vocab = nxt
+        for wid in list(pair_words.get(best, ())):
+            syms, cnt = entries[wid]
+            before = word_pairs(syms)
+            if best not in before:
+                continue  # stale membership from an earlier update
+            merged = list(_merge_syms(tuple(syms), best))
+            after = word_pairs(merged)
+            entries[wid][0] = merged
+            for p in before.keys() | after.keys():
+                delta = (after.get(p, 0) - before.get(p, 0)) * cnt
+                if delta == 0:
+                    continue
+                nc = pair_counts.get(p, 0) + delta
+                pair_counts[p] = nc
+                if delta > 0:
+                    pair_words.setdefault(p, set()).add(wid)
+                if nc > 0:
+                    heapq.heappush(heap, (-nc, p))
+        # the merged pair is gone everywhere by construction
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 
@@ -310,19 +365,164 @@ def bpe_encode_tokens_col(
     )
 
 
+# Above this merge count, bpe_encode switches from the plan-folded
+# replace chain to the Arrow kernel. The fold is structurally bounded:
+# the r6 probe measured the driver's recursive Column→Expression
+# conversion overflowing the JVM thread stack between 256 and 512
+# chained replaces (StackOverflowError before planning even starts) —
+# a production 16k-32k-merge vocabulary cannot run as a fold at all.
+# 256 keeps the pure-JVM zero-Python path for small vocabularies
+# (every oracle-gated query uses ≤ 64 merges) with a 2x margin below
+# the measured failure point; override per call with engine= or
+# globally via FW_BPE_FOLD_MAX_MERGES (e.g. on a driver with a larger
+# -Xss). The kernel is O(doc_len) per doc regardless of merge count
+# (per-task distinct-word cache), so routing above the cap is also the
+# faster choice, not just the safe one — see BENCH/BPE.md r6 rows.
+FOLD_MAX_MERGES = 256
+
+
+def _bpe_encode_words(merges: list[tuple[str, str]]):
+    """Per-task encoder factory: returns ``encode(word) -> list[str]``
+    applying ``merges`` IN RANK ORDER with the exact fold semantics —
+    merge r rewrites every non-overlapping occurrence left-to-right,
+    and an occurrence of a pair created by a LATER-ranked merge is
+    never revisited (the fold's single forward pass per merge). A heap
+    of candidate ranks makes this O(applied · word_len) per word
+    instead of O(merges · word_len): after applying rank r, only
+    newly-adjacent pairs with rank > r are (re)pushed. Duplicate pairs
+    in the merge list (a pair re-learned at a later rank after earlier
+    merges re-create its adjacency) keep ALL their ranks."""
+    import bisect
+    import heapq
+
+    ranklists: dict[tuple[str, str], list[int]] = {}
+    for i, (a, b) in enumerate(merges):
+        ranklists.setdefault((a, b), []).append(i)
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        syms.append(EOW)
+        heap: list[int] = []
+        seen: set[int] = set()
+
+        def push(pair, after: int) -> None:
+            lst = ranklists.get(pair)
+            if not lst:
+                return
+            j = bisect.bisect_right(lst, after)
+            if j < len(lst) and lst[j] not in seen:
+                seen.add(lst[j])
+                heapq.heappush(heap, lst[j])
+
+        for i in range(len(syms) - 1):
+            push((syms[i], syms[i + 1]), -1)
+        while heap:
+            r = heapq.heappop(heap)
+            a, b = merges[r]
+            out: list[str] = []
+            i, n = 0, len(syms)
+            changed = False
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if changed:
+                syms = out
+                for i in range(len(syms) - 1):
+                    push((syms[i], syms[i + 1]), r)
+        return syms
+
+    return encode
+
+
+def bpe_encode_kernel_col(
+    text_col: str | Column,
+    merges: list[tuple[str, str]],
+    lower: bool = True,
+) -> Column:
+    """Arrow-kernel encode — the production path for realistic (16k+)
+    vocabularies, where the replace-fold's O(merges × doc_len) passes
+    and O(merges)-deep expression tree are structurally unaffordable
+    (the driver's Column→Expression conversion stack-overflows near 8k
+    chained replaces). Differential-tested token-identical to the fold
+    (tests/test_bpe.py).
+
+    Parity by construction: normalization (delimiter strip, whitespace
+    collapse, trim, lower) runs in the JVM via the SAME ``norm_text``
+    expression as the fold, so the Python side only splits on the
+    single collapsed space and applies merges; per-task state is one
+    distinct-word → tokens dict (Zipfian corpora hit it constantly),
+    built once per task (iterator-form pandas UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for a, b in merges:
+        if DELIM in a or DELIM in b:
+            raise ValueError("merge symbols must not contain the delimiter")
+        if a.endswith(EOW):
+            raise ValueError(
+                f"merge left element {a!r} ends with the end-of-word "
+                "marker — applying it would merge across word boundaries"
+            )
+    mlocal = [(a, b) for a, b in merges]
+
+    @pandas_udf("array<string>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        encode_word = _bpe_encode_words(mlocal)
+        cache: dict[str, list[str]] = {}
+
+        def doc(t: str) -> list[str]:
+            if not t:
+                return []
+            toks: list[str] = []
+            for w in t.split(" "):
+                enc = cache.get(w)
+                if enc is None:
+                    enc = encode_word(w)
+                    cache[w] = enc
+                toks.extend(enc)
+            return toks
+
+        for s in batches:
+            yield s.map(doc, na_action="ignore")
+
+    t = norm_text(F.replace(c, F.lit(DELIM), F.lit("")), lower=lower)
+    return _encode(t)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     prefix: str = "bpe_",
     lower: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Append ``{prefix}tokens`` (array<string>) and
-    ``{prefix}n_tokens`` (int) — the deployed-scale stage."""
+    ``{prefix}n_tokens`` (int) — the deployed-scale stage.
+
+    engine: "auto" (default) uses the pure-JVM replace-fold up to
+    ``FOLD_MAX_MERGES`` merges and the Arrow kernel above it (see
+    FOLD_MAX_MERGES for the measured rationale); "fold" / "kernel"
+    force a path. Both produce identical tokens."""
     for col in (f"{prefix}tokens", f"{prefix}n_tokens"):
         if col in df.columns:
             raise ValueError(f"output column {col!r} already exists")
-    toks = bpe_encode_tokens_col(text_col, merges, lower=lower)
+    if engine == "auto":
+        import os
+
+        cap = int(os.environ.get("FW_BPE_FOLD_MAX_MERGES", FOLD_MAX_MERGES))
+        engine = "fold" if len(merges) <= cap else "kernel"
+    if engine == "fold":
+        toks = bpe_encode_tokens_col(text_col, merges, lower=lower)
+    elif engine == "kernel":
+        toks = bpe_encode_kernel_col(text_col, merges, lower=lower)
+    else:
+        raise ValueError(f"engine must be auto|fold|kernel, got {engine!r}")
     out = df.withColumn(f"{prefix}tokens", toks)
     return out.withColumn(f"{prefix}n_tokens", F.size(F.col(f"{prefix}tokens")))
 
