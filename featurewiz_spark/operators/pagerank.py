@@ -63,6 +63,11 @@ def pagerank(
     # (e.g. WARC parse + link-extraction regexes) once per iteration —
     # measured 70s -> ~20s on the 100k-page end-to-end probe
     edges = edges.persist()
+    # populate NOW: the nodes union below scans edges TWICE (src + dst
+    # branches) inside one job — against an unpopulated cache both
+    # branches re-execute the entire upstream lineage (WARC parse +
+    # link extraction in the E2E probe) before the cache fills
+    edges.count()
 
     nodes = (
         edges.select(F.col("__src").alias("node"))
