@@ -144,11 +144,14 @@ def minhash_lsh_pairs(
     # with cache.py — callers release via release_caches()/cache_scope()
     # after materializing (lazy results make an in-function unpersist
     # impossible; see the module docstring of featurewiz_spark.cache).
-    # eager: the bucket-cap aggregate and both self-join sides are
-    # sibling AQE stage futures — launched concurrently, each raced to
-    # compute the unpopulated cache (signature pipeline ran 3x per
-    # action in stage metrics; see scoped_persist docstring).
-    sigs = scoped_persist(sigs, eager=True)
+    # lazy persist is SAFE here (unlike the pair/token caches below):
+    # since the r6 single-exchange restructure, the first consumer —
+    # the bucket-cap aggregate's exchange — scans sigs alone and
+    # populates the cache before the semi-join stage re-reads it;
+    # there are no parallel sibling scans left to race. (Pre-r6 the
+    # left and right self-join exchanges raced it, computing the
+    # signature pipeline 3x per action.)
+    sigs = scoped_persist(sigs)
     banded = sigs.select(
         id_col,
         "minhash",
