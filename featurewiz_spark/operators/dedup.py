@@ -197,9 +197,13 @@ def minhash_lsh_pairs(
     # keep-aggregate, now 2). Skew safety is unchanged: over-cap
     # buckets are dropped by the semi-join BEFORE this exchange, so a
     # boilerplate mega-bucket never ships.
-    banded = scoped_persist(
-        banded.repartition("band", "band_hash"), eager=True
-    )
+    # lazy persist is race-free here: the self-join consumes both
+    # sides of this cache inside the SAME stage (no exchange between
+    # the IMT scans and the join), so within each task the first
+    # iterator materializes the partition and the second reads it —
+    # there are no sibling stage futures to race (contrast the pair
+    # and token caches in jaccard_pairs, which stay eager).
+    banded = scoped_persist(banded.repartition("band", "band_hash"))
     left = banded.select(
         F.col(id_col).alias("a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
     )
