@@ -316,10 +316,13 @@ def jaccard_pairs(
         # a lazy persist let each recompute the candidate DAG before
         # the cache filled (see scoped_persist docstring).
         pairs = scoped_persist(pairs, eager=True)
-        wanted = (
-            pairs.select(F.col("a").alias(id_col))
-            .unionByName(pairs.select(F.col("b").alias(id_col)))
-            .distinct()
+        # no .distinct() on the id union: a left-semi join needs no
+        # unique build keys (the broadcast hash build collapses
+        # duplicates itself), and each id appears in only a handful of
+        # pairs — the distinct cost a full exchange + two HashAggregates
+        # per run for at most a ~2x smaller build side.
+        wanted = pairs.select(F.col("a").alias(id_col)).unionByName(
+            pairs.select(F.col("b").alias(id_col))
         )
         src = df.join(wanted, on=id_col, how="leftsemi")
     toks = src.select(F.col(id_col), sets.alias("__t"))
