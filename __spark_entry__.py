@@ -325,8 +325,14 @@ def _q19_groupby_mad(spark, sf):
 def _q20_exact_dedup(spark, sf):
     from featurewiz_spark.operators.dedup import exact_dedup
 
-    docs = _tp(spark, sf, "documents")
-    return exact_dedup(docs, "text", "doc_id")
+    # _t + partitions=0, NOT the _tp round-robin spread: exact dedup is
+    # one md5 + one regex pass whose duplicates collapse in the MAP-SIDE
+    # partial aggregate, so pre-spreading the full text across cores
+    # only adds a payload shuffle wave before the narrow hash exchange
+    # (measured 0.47s -> 0.20s warm at sf0.1). The compute-bound text
+    # queries (signatures, langid, quality) keep the spread.
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs, "text", "doc_id", partitions=0)
 
 
 def _q21_text_quality(spark, sf):
