@@ -885,7 +885,13 @@ def _q62_curation_pipeline(spark, sf):
     fingerprint — one shuffle end-to-end, full DuckDB oracle."""
     from featurewiz_spark.plans.pipeline import documents_curation_pipeline
 
-    docs = _tp(spark, sf, "documents")
+    # _t, not the _tp round-robin spread: the pipeline's map side is the
+    # min_by-struct dedup aggregate, whose duplicates collapse before
+    # the shuffle, and the quality/langid/fingerprint chain draws its
+    # parallelism from the aggregate's OUTPUT exchange either way — the
+    # pre-spread only added a payload shuffle wave (measured 0.66s ->
+    # 0.49s warm at sf0.1, neutral at a 50k-doc single-row-group file).
+    docs = _t(spark, sf, "documents")
     d = documents_curation_pipeline(docs)
     return d.select("doc_id", "q_n_words", "lang_pred", "fp_md5")
 
