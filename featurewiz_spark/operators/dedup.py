@@ -92,28 +92,32 @@ def minhash_signatures(
         F.col(id_col),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
     )
-    th = F.col("__th")
+    # The per-hash/per-shingle expression loops are built as ONE parsed
+    # SQL string each, not nested Column lambdas: every DSL Column op is
+    # a py4j round-trip, and the k-hash loop alone was ~200 of them —
+    # measured ~0.2s of driver-side PLAN CONSTRUCTION per call (paid per
+    # bench rep, before any job runs). F.expr hands Catalyst one string
+    # to parse JVM-side; the parsed expressions are identical.
+    # get(), NOT element_at: a doc with < shingle_k tokens reads past
+    # the array, and element_at THROWS under Spark 4's default ANSI
+    # mode (one short doc would abort the whole corpus job). get()
+    # returns NULL out of bounds and xxhash64 skips null inputs, so
+    # short docs hash their real tokens.
+    gets = ", ".join(f"get(__th, i + {j})" for j in range(shingle_k))
     base = hashed.select(
         F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(th) - shingle_k, F.lit(0))),
-            # F.get, NOT element_at: a doc with < shingle_k tokens reads
-            # past the array, and element_at THROWS under Spark 4's
-            # default ANSI mode (one short doc would abort the whole
-            # corpus job). get() returns NULL out of bounds and xxhash64
-            # skips null inputs, so short docs hash their real tokens.
-            lambda i: F.xxhash64(
-                *[F.get(th, i + j) for j in range(shingle_k)]
-            ),
+        F.expr(
+            f"transform(sequence(0, greatest(size(__th) - {shingle_k}, 0)), "
+            f"i -> xxhash64({gets}))"
         ).alias("__bh"),
     )
-    sigs = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("__bh"), lambda h: F.xxhash64(h, F.lit(seed + i)))
-            )
+    sigs = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(__bh, h -> xxhash64(h, {seed + i})))"
             for i in range(num_hashes)
-        ]
+        )
+        + ")"
     )
     return base.select(F.col(id_col), sigs.alias("minhash"))
 
@@ -152,25 +156,23 @@ def minhash_lsh_pairs(
     # left and right self-join exchanges raced it, computing the
     # signature pipeline 3x per action.)
     sigs = scoped_persist(sigs)
+    # ONE parsed SQL string for the band-hash array (see the matching
+    # note in minhash_signatures: the bands × rows_per_band Column loop
+    # was pure py4j construction latency; the parsed expressions are
+    # identical — minhash[i] is getItem, concat_ws casts the longs the
+    # same way).
+    band_arr = ", ".join(
+        "xxhash64(concat_ws(',', "
+        + ", ".join(
+            f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
     banded = sigs.select(
         id_col,
         "minhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash").getItem(b * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.expr(f"posexplode(array({band_arr}))").alias("band", "band_hash"),
     )
     del n
     # Bucket-size guard via hash aggregate + co-partitioned semi-join,
@@ -210,14 +212,9 @@ def minhash_lsh_pairs(
     right = banded.select(
         F.col(id_col).alias("b"), F.col("minhash").alias("mh_b"), "band", "band_hash"
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.size(F.col("mh_a"))
+    est = F.expr(
+        "size(filter(zip_with(mh_a, mh_b, (x, y) -> cast((x = y) as int)), "
+        "v -> v = 1)) / size(mh_a)"
     )
     # jaccard_est is computed BEFORE the (a, b) dedup and the signature
     # arrays are dropped at the join output: carrying mh_a/mh_b through
