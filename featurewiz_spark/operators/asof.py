@@ -116,13 +116,24 @@ def asof_join(
         ).alias("__pay"),
     )
     # align schemas for unionByName (right rows carry NULL left columns;
-    # left rows carry a NULL payload struct)
-    for c in left.columns:
-        if c not in rt.columns:
-            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    lt = lt.withColumn("__pay", F.lit(None).cast(rt.schema["__pay"].dataType))
-    lt = lt.withColumn("__rts", F.lit(None).cast(right.schema[right_ts].dataType))
-    rt = rt.withColumn("__rts", F.col("__ts"))
+    # left rows carry a NULL payload struct). ONE select per side, not a
+    # withColumn per column: every withColumn is a py4j round-trip plus
+    # a full re-analysis of the growing plan — pure driver-side plan-
+    # construction cost (measured ~0.3s per q04 build).
+    rt = rt.select(
+        "*",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in rt.columns
+        ],
+        F.col("__ts").alias("__rts"),
+    )
+    lt = lt.select(
+        "*",
+        F.lit(None).cast(rt.schema["__pay"].dataType).alias("__pay"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
 
     u = lt.unionByName(rt.select(*lt.columns))
 
@@ -150,9 +161,15 @@ def asof_join(
     # ONE last() over the struct payload: the matched row is atomic —
     # its ts and ALL its values come from the same right row
     matched = u.withColumn("__m", F.last(F.col("__pay"), ignorenulls=True).over(w))
-    matched = matched.withColumn("__mts", F.col("__m").getField("__mts"))
-    for c in value_cols:
-        matched = matched.withColumn(f"{c}{suffix}", F.col("__m").getField(c))
+    # one withColumns call for the unpacked payload fields (see the
+    # schema-alignment note above: a withColumn per value column is a
+    # py4j round-trip plus a re-analysis each)
+    matched = matched.withColumns(
+        {
+            "__mts": F.col("__m").getField("__mts"),
+            **{f"{c}{suffix}": F.col("__m").getField(c) for c in value_cols},
+        }
+    )
 
     res = matched.filter(F.col("__side") == l_tag)
 
@@ -161,11 +178,15 @@ def asof_join(
             within = F.col("__mts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
         else:
             within = F.col("__mts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
-        for c in value_cols:
-            res = res.withColumn(
-                f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}"))
-            )
-        res = res.withColumn("__mts", F.when(within, F.col("__mts")))
+        res = res.withColumns(
+            {
+                **{
+                    f"{c}{suffix}": F.when(within, F.col(f"{c}{suffix}"))
+                    for c in value_cols
+                },
+                "__mts": F.when(within, F.col("__mts")),
+            }
+        )
 
     res = res.withColumn(f"{right_ts}{suffix}", F.col("__mts"))
     return res.drop("__ts", "__side", "__rts", "__mts", "__m", "__pay")

@@ -56,60 +56,92 @@ def add_calendar_features(
     are produced — zero-variance drops decided on train stay dropped.
     """
     p = f"{prefix}_" if prefix else f"{ts}_"
-    t = F.col(ts)
-    month_name = F.element_at(
-        F.array(*[F.lit(m) for m in _MONTH_NAMES]), F.month(t)
+    # Every feature is ONE parsed SQL string (F.expr), not a nested
+    # Column construction: the ~26-feature DSL build made ~170 py4j
+    # round-trips of pure driver-side plan-construction latency
+    # (measured ~0.12s per call in the flagship build). The parsed
+    # expressions are identical — double literals carry the D suffix so
+    # the SQL parser yields the same bit-exact double the DSL literal
+    # did (repr round-trips, Double.parseDouble is correctly rounded),
+    # and sin/cos outputs were verified bit-for-bit via exceptAll.
+    t = f"`{ts}`"
+    month_name = (
+        "element_at(array("
+        + ", ".join(f"'{m}'" for m in _MONTH_NAMES)
+        + f"), month({t}))"
     )
-    day_name = F.element_at(
-        F.array(*[F.lit(d) for d in _DAY_NAMES]), F.dayofweek(t)
+    day_name = (
+        "element_at(array("
+        + ", ".join(f"'{d}'" for d in _DAY_NAMES)
+        + f"), dayofweek({t}))"
     )
-    typeofday = F.when(
-        F.dayofweek(t).isin(1, 7), F.lit("weekend")
-    ).otherwise(F.lit("weekday"))
-    feats: dict[str, F.Column] = {
-        f"{p}hour": F.hour(t),
-        f"{p}minute": F.minute(t),
-        f"{p}dayofweek": F.dayofweek(t),
-        f"{p}quarter": F.quarter(t),
-        f"{p}month": F.month(t),
-        f"{p}year": F.year(t),
-        f"{p}dayofyear": F.dayofyear(t),
-        f"{p}dayofmonth": F.dayofmonth(t),
-        f"{p}weekofyear": F.weekofyear(t),
-        f"{p}is_weekend": F.dayofweek(t).isin(1, 7).cast("int"),
+    typeofday = (
+        f"CASE WHEN dayofweek({t}) IN (1, 7) THEN 'weekend' "
+        "ELSE 'weekday' END"
+    )
+
+    def _in(vals) -> str:
+        return ", ".join(str(v) for v in vals)
+
+    feats_sql: dict[str, str] = {
+        f"{p}hour": f"hour({t})",
+        f"{p}minute": f"minute({t})",
+        f"{p}dayofweek": f"dayofweek({t})",
+        f"{p}quarter": f"quarter({t})",
+        f"{p}month": f"month({t})",
+        f"{p}year": f"year({t})",
+        f"{p}dayofyear": f"dayofyear({t})",
+        f"{p}dayofmonth": f"dayofmonth({t})",
+        f"{p}weekofyear": f"weekofyear({t})",
+        f"{p}is_weekend": f"cast(dayofweek({t}) IN (1, 7) as int)",
         f"{p}month_name": month_name,
         f"{p}dayofweek_name": day_name,
         f"{p}typeofday": typeofday,
-        f"{p}is_festive": F.month(t).isin(*_FESTIVE).cast("int"),
-        f"{p}is_summer": F.month(t).isin(*_SUMMER).cast("int"),
-        f"{p}is_winter": F.month(t).isin(*_WINTER).cast("int"),
-        f"{p}is_cold": F.month(t).isin(*_COLD).cast("int"),
-        f"{p}is_warm": F.month(t).isin(*_WARM).cast("int"),
+        f"{p}is_festive": f"cast(month({t}) IN ({_in(_FESTIVE)}) as int)",
+        f"{p}is_summer": f"cast(month({t}) IN ({_in(_SUMMER)}) as int)",
+        f"{p}is_winter": f"cast(month({t}) IN ({_in(_WINTER)}) as int)",
+        f"{p}is_cold": f"cast(month({t}) IN ({_in(_COLD)}) as int)",
+        f"{p}is_warm": f"cast(month({t}) IN ({_in(_WARM)}) as int)",
     }
     if ref_year is not None:
-        feats[f"{p}age_in_years"] = F.lit(ref_year) - F.year(t)
+        feats_sql[f"{p}age_in_years"] = f"{int(ref_year)} - year({t})"
     if cyclic:
         # reference formulas verbatim (my_encoders.py:921-924, 935-938,
         # 997-1000): x·2π/period with the raw 1-based month / day values
-        feats[f"{p}hour_sin"] = F.sin(F.hour(t) * TAU / 24)
-        feats[f"{p}hour_cos"] = F.cos(F.hour(t) * TAU / 24)
-        feats[f"{p}dayofweek_sin"] = F.sin((F.dayofweek(t) - 1) * TAU / 7)
-        feats[f"{p}dayofweek_cos"] = F.cos((F.dayofweek(t) - 1) * TAU / 7)
-        feats[f"{p}month_sin"] = F.sin(F.month(t) * TAU / 12)
-        feats[f"{p}month_cos"] = F.cos(F.month(t) * TAU / 12)
-        feats[f"{p}dayofmonth_sin"] = F.sin(F.dayofmonth(t) * TAU / 30)
-        feats[f"{p}dayofmonth_cos"] = F.cos(F.dayofmonth(t) * TAU / 30)
+        # NOTE the operator order mirrors the DSL exactly — (x * TAU) /
+        # period, NOT x * (TAU/period): pre-folding the constant would
+        # change the last ulp of the result.
+        feats_sql[f"{p}hour_sin"] = f"sin(hour({t}) * {TAU!r}D / 24)"
+        feats_sql[f"{p}hour_cos"] = f"cos(hour({t}) * {TAU!r}D / 24)"
+        feats_sql[f"{p}dayofweek_sin"] = (
+            f"sin((dayofweek({t}) - 1) * {TAU!r}D / 7)"
+        )
+        feats_sql[f"{p}dayofweek_cos"] = (
+            f"cos((dayofweek({t}) - 1) * {TAU!r}D / 7)"
+        )
+        feats_sql[f"{p}month_sin"] = f"sin(month({t}) * {TAU!r}D / 12)"
+        feats_sql[f"{p}month_cos"] = f"cos(month({t}) * {TAU!r}D / 12)"
+        feats_sql[f"{p}dayofmonth_sin"] = (
+            f"sin(dayofmonth({t}) * {TAU!r}D / 30)"
+        )
+        feats_sql[f"{p}dayofmonth_cos"] = (
+            f"cos(dayofmonth({t}) * {TAU!r}D / 30)"
+        )
     if crosses:
-        feats[f"{p}dow_hour"] = F.concat_ws(
-            "_", F.dayofweek(t).cast("string"), F.hour(t).cast("string")
+        feats_sql[f"{p}dow_hour"] = (
+            f"concat_ws('_', cast(dayofweek({t}) as string), "
+            f"cast(hour({t}) as string))"
         )
-        feats[f"{p}month_dow"] = F.concat_ws(
-            "_", F.month(t).cast("string"), F.dayofweek(t).cast("string")
+        feats_sql[f"{p}month_dow"] = (
+            f"concat_ws('_', cast(month({t}) as string), "
+            f"cast(dayofweek({t}) as string))"
         )
-        feats[f"{p}month_typeofday"] = F.concat_ws("_", month_name, typeofday)
+        feats_sql[f"{p}month_typeofday"] = (
+            f"concat_ws('_', {month_name}, {typeofday})"
+        )
     if keep is not None:
-        feats = {k: v for k, v in feats.items() if k in set(keep)}
-    return df.withColumns(feats)
+        feats_sql = {k: v for k, v in feats_sql.items() if k in set(keep)}
+    return df.withColumns({k: F.expr(v) for k, v in feats_sql.items()})
 
 
 def calendar_string_features(prefix: str) -> list[str]:
