@@ -309,10 +309,18 @@ def jaccard_pairs(
         # pipeline (e.g. the whole LSH explode/shuffle/self-join DAG)
         # re-executes per consumer — measured 3.8x on the q31 bench.
         # Registered for release_caches() (see featurewiz_spark.cache).
-        # eager: the three consumers are concurrent AQE stage futures;
-        # a lazy persist let each recompute the candidate DAG before
-        # the cache filled (see scoped_persist docstring).
-        pairs = scoped_persist(pairs, eager=True)
+        # lazy is race-free here SINCE the eager toks persist below:
+        # the toks count() is the first action, and inside that one job
+        # the pairs cache's two consumers (the id-union's branches) are
+        # block-locked per partition, so the candidate DAG executes
+        # once and fills the cache; the verify joins then read it
+        # populated. (Pre-r6 all three consumers were concurrent stage
+        # futures of the FINAL action and each re-ran the DAG — that
+        # is what the eager toks barrier now prevents.) Measured: one
+        # fewer job than an eager pairs count, ~0.05s lower median
+        # over 6 alternating 5-rep A/B sets, no recompute blowup in
+        # any rep.
+        pairs = scoped_persist(pairs)
         # no .distinct() on the id union: a left-semi join needs no
         # unique build keys (the broadcast hash build collapses
         # duplicates itself), and each id appears in only a handful of
