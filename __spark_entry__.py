@@ -13,7 +13,6 @@ order-insensitive value-hash is robust to summation-order differences
 from __future__ import annotations
 
 import os
-import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,23 +27,29 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # query three times. This caches plan METADATA only — the DataFrame is
 # an unexecuted plan, every action still scans the parquet inputs (the
 # same trade Spark's own per-session file-listing cache makes, see
-# spark.sql.hive.filesourcePartitionFileCacheSize). Keyed weakly by the
-# SparkSession so bench scaling subprocess sessions never cross-talk.
-_T_READERS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# spark.sql.hive.filesourcePartitionFileCacheSize). Single-slot keyed
+# by the session object (a weak-key map cannot collect here: the
+# cached DataFrames strongly reference their session, so value→key
+# would pin every dead session for process lifetime); a new session
+# simply replaces the slot. The path's mtime is part of the key so a
+# table rewritten mid-session is re-listed, not served stale.
+_T_READERS: list = [None, {}]  # [session, {(sf_dir, name, mtime): df}]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per = _T_READERS.get(spark)
-    if per is None:
-        per = {}
-        _T_READERS[spark] = per
-    key = (sf_dir, name)
-    df = per.get(key)
+    if _T_READERS[0] is not spark:
+        _T_READERS[0] = spark
+        _T_READERS[1] = {}
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (sf_dir, name, mtime)
+    df = _T_READERS[1].get(key)
     if df is None:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        per[key] = df
+        df = spark.read.parquet(path)
+        _T_READERS[1][key] = df
     return df
 
 

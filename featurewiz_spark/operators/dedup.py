@@ -309,18 +309,17 @@ def jaccard_pairs(
         # pipeline (e.g. the whole LSH explode/shuffle/self-join DAG)
         # re-executes per consumer — measured 3.8x on the q31 bench.
         # Registered for release_caches() (see featurewiz_spark.cache).
-        # lazy is race-free here SINCE the eager toks persist below:
-        # the toks count() is the first action, and inside that one job
-        # the pairs cache's two consumers (the id-union's branches) are
-        # block-locked per partition, so the candidate DAG executes
-        # once and fills the cache; the verify joins then read it
-        # populated. (Pre-r6 all three consumers were concurrent stage
-        # futures of the FINAL action and each re-ran the DAG — that
-        # is what the eager toks barrier now prevents.) Measured: one
-        # fewer job than an eager pairs count, ~0.05s lower median
-        # over 6 alternating 5-rep A/B sets, no recompute blowup in
-        # any rep.
-        pairs = scoped_persist(pairs)
+        # eager: the id-union below scans pairs through TWO sibling
+        # branches inside one action. A lazy persist measured ~0.05s
+        # faster locally (block locks serialize duplicate partition
+        # computation within one BlockManager), but on a multi-executor
+        # cluster cache blocks are executor-local and the two branch
+        # tasks for the same partition can land on different executors
+        # — each re-running the post-shuffle tail of the candidate DAG.
+        # The house rule (scoped_persist docstring: eager iff 2+
+        # sibling consumers in one action) stands; the local job-wave
+        # saving does not justify cluster-mode duplicate work.
+        pairs = scoped_persist(pairs, eager=True)
         # no .distinct() on the id union: a left-semi join needs no
         # unique build keys (the broadcast hash build collapses
         # duplicates itself), and each id appears in only a handful of

@@ -80,6 +80,7 @@ def brute_force_topk(
     queries: DataFrame | None = None,
     exclude_self: bool = True,
     max_corpus_rows: int | None = 500_000,
+    query_partitions: int | None = None,
 ) -> DataFrame:
     """Cosine top-k neighbors for every query vector against the corpus.
 
@@ -161,19 +162,22 @@ def brute_force_topk(
             # sort last (ranks stay consecutive) and are dropped
             yield out[np.isfinite(out["cos_sim"])]
 
-    # REBALANCE (AQE-sized by bytes), not repartition(defaultParallelism):
-    # the per-row work here is a thin slice of one GEMM, so a tiny query
-    # set does not benefit from being sprayed across every core — each
-    # extra task pays a Python worker round-trip plus a broadcast fetch
-    # of the corpus matrix for a handful of rows (measured at bench
-    # scale: 32 fixed tasks 0.59s vs rebalance 0.44s warm). At scale a
-    # large query set still fans out: AQE splits the rebalance output to
-    # the advisory partition size instead of a core-count constant.
-    return (
-        q.select(id_col, vec_col)
-        .hint("rebalance")
-        .mapInPandas(topk, schema=schema)
-    )
+    # No repartition of the query side: the kernel trusts the caller's
+    # partitioning (a table-scan query frame is already split by the
+    # input layout, which is the partition count that scales with the
+    # data). The old fixed repartition(defaultParallelism) sprayed a
+    # tiny query set across every core — each task paying a Python
+    # worker round-trip plus a broadcast fetch of the corpus matrix for
+    # a handful of rows (measured at bench scale: fixed 32-way 0.59s vs
+    # 0.39s unshuffled, identical results). A byte-sized AQE rebalance
+    # was measured (0.44s) and rejected: this kernel is compute-bound
+    # per ROW (one corpus GEMM slice each), so byte-based coalescing
+    # under-parallelizes large query sets. Callers with a known badly
+    # partitioned query frame pass query_partitions to fan out.
+    sel = q.select(id_col, vec_col)
+    if query_partitions:
+        sel = sel.repartition(query_partitions)
+    return sel.mapInPandas(topk, schema=schema)
 
 
 def quantize_embeddings(

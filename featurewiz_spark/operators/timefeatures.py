@@ -64,7 +64,7 @@ def add_calendar_features(
     # the SQL parser yields the same bit-exact double the DSL literal
     # did (repr round-trips, Double.parseDouble is correctly rounded),
     # and sin/cos outputs were verified bit-for-bit via exceptAll.
-    t = f"`{ts}`"
+    t = "`" + ts.replace("`", "``") + "`"  # escape backticks in the name
     month_name = (
         "element_at(array("
         + ", ".join(f"'{m}'" for m in _MONTH_NAMES)
